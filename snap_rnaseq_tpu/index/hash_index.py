@@ -1,0 +1,329 @@
+"""The genome seed index: open-addressed hash tables + overflow list.
+
+TPU-native analog of reference SNAPLib/{HashTable,GenomeIndex}.{h,cpp}.
+Behavioral contract (what lookupSeed returns) matches the reference exactly:
+
+* one logical table per seed "high bases" value (the bases beyond the last
+  16): 4^(seedLen-16) shards, the same partitioning the reference uses
+  (GenomeIndex.cpp:316) and the natural multi-chip sharding seam;
+* each entry is {key: u32 (canonical seed low bases), value1: u32, value2: u32}
+  where value1 holds the hits of the *lower* of (seed, RC-seed) and value2 the
+  higher (HashTable.h:119-123); 0xFFFFFFFE marks an unused half; values >=
+  genome size point into a shared overflow table laid out as
+  [count, loc0 > loc1 > ...] (descending) per repeated seed
+  (GenomeIndex.cpp:538-620, 966-1086);
+* probing is MurmurHash3-finalizer start, quadratic for 5 probes then linear
+  (HashTable.h:60-105), empty slot = value1 == 0xFFFFFFFF.
+
+The *build* is a clean-room redesign: instead of the reference's multithreaded
+genome scan with per-table locks, approximate counters and 350k lines of
+precomputed bias tables (GenomeIndex.cpp:1109-1578, BiasTables.cpp), we pack
+every seed vectorized, lexsort (key, half, -location) once, and size every
+shard from exact distinct counts.  All arrays are flat and ready to ship to
+TPU HBM (see device_arrays()).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import (INVALID_GENOME_LOCATION, MAX_SEED_LENGTH,
+                         MIN_SEED_LENGTH, UNUSED_HASH_VALUE)
+from .genome import Genome
+from .seeds import murmur_finalize_u32, pack_all_seeds
+
+QUADRATIC_CHAINING_DEPTH = 5  # HashTable.h:117
+_EMPTY = np.uint32(INVALID_GENOME_LOCATION)
+_UNUSED = np.uint32(UNUSED_HASH_VALUE)
+
+
+@dataclass
+class GenomeIndex:
+    genome: Genome
+    seed_len: int
+    ht_keys: np.ndarray        # uint32[total_slots]
+    ht_val1: np.ndarray        # uint32[total_slots]
+    ht_val2: np.ndarray        # uint32[total_slots]
+    shard_starts: np.ndarray   # int64[n_shards+1] slot offset of each shard
+    overflow: np.ndarray       # uint32[overflow_len]
+
+    @property
+    def n_shards(self) -> int:
+        return self.shard_starts.shape[0] - 1
+
+    @property
+    def genome_size(self) -> int:
+        return self.genome.num_bases
+
+    # ------------------------------------------------------------------
+    # host-side lookup (oracle for tests; the batched TPU path lives in
+    # ops/lookup.py and must agree with this bit-for-bit)
+    # ------------------------------------------------------------------
+
+    def _probe(self, shard: int, key: int) -> int:
+        """Return global slot index holding `key`, or -1."""
+        start = int(self.shard_starts[shard])
+        size = int(self.shard_starts[shard + 1]) - start
+        if size <= 0:
+            return -1
+        idx = int(murmur_finalize_u32(np.uint32(key))) % size
+        if self.ht_keys[start + idx] == key and self.ht_val1[start + idx] != _EMPTY:
+            return start + idx
+        n_probes = 0
+        while True:
+            n_probes += 1
+            if n_probes > size + QUADRATIC_CHAINING_DEPTH:
+                return -1
+            if n_probes < QUADRATIC_CHAINING_DEPTH:
+                idx = (idx + n_probes * n_probes) % size
+            else:
+                idx = (idx + 1) % size
+            if self.ht_val1[start + idx] == _EMPTY:
+                return -1
+            if self.ht_keys[start + idx] == key:
+                return start + idx
+
+    def _expand_half(self, value: int, min_loc: int, max_loc: int) -> np.ndarray:
+        if value == _UNUSED:
+            return np.zeros(0, dtype=np.uint32)
+        if value < self.genome_size:
+            v = np.asarray([value], dtype=np.uint32)
+        else:
+            off = value - self.genome_size
+            count = int(self.overflow[off])
+            v = self.overflow[off + 1:off + 1 + count]
+        if min_loc == 0 and max_loc == INVALID_GENOME_LOCATION:
+            return v
+        return v[(v >= min_loc) & (v <= max_loc)]
+
+    def lookup_seed(self, fwd: int, rc: int, min_loc: int = 0,
+                    max_loc: int = INVALID_GENOME_LOCATION):
+        """Returns (hits, rc_hits) — descending uint32 location arrays for the
+        seed and its reverse complement, like GenomeIndex::lookupSeed."""
+        fwd, rc = int(fwd), int(rc)
+        canonical = min(fwd, rc)
+        swapped = fwd > rc
+        shard = canonical >> 32
+        key = canonical & 0xFFFFFFFF
+        slot = self._probe(int(shard), int(key))
+        if slot < 0:
+            z = np.zeros(0, dtype=np.uint32)
+            return z, z.copy()
+        v1, v2 = int(self.ht_val1[slot]), int(self.ht_val2[slot])
+        lo = self._expand_half(v1, min_loc, max_loc)
+        if fwd == rc:
+            return lo, lo
+        hi = self._expand_half(v2, min_loc, max_loc)
+        return (hi, lo) if swapped else (lo, hi)
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        self.genome.save(directory)
+        with open(os.path.join(directory, "index.json"), "w") as f:
+            json.dump({"format": "snap-rnaseq-tpu-index", "version": 1,
+                       "seed_len": self.seed_len,
+                       "total_slots": int(self.ht_keys.shape[0]),
+                       "overflow_len": int(self.overflow.shape[0])}, f)
+        np.save(os.path.join(directory, "ht_keys.npy"), self.ht_keys)
+        np.save(os.path.join(directory, "ht_val1.npy"), self.ht_val1)
+        np.save(os.path.join(directory, "ht_val2.npy"), self.ht_val2)
+        np.save(os.path.join(directory, "shard_starts.npy"), self.shard_starts)
+        np.save(os.path.join(directory, "overflow.npy"), self.overflow)
+
+    @classmethod
+    def load(cls, directory: str, mmap: bool = True) -> "GenomeIndex":
+        with open(os.path.join(directory, "index.json")) as f:
+            meta = json.load(f)
+        mm = "r" if mmap else None
+        load = lambda n: np.load(os.path.join(directory, n), mmap_mode=mm)
+        return cls(genome=Genome.load(directory, mmap=mmap),
+                   seed_len=int(meta["seed_len"]),
+                   ht_keys=load("ht_keys.npy"), ht_val1=load("ht_val1.npy"),
+                   ht_val2=load("ht_val2.npy"),
+                   shard_starts=load("shard_starts.npy"),
+                   overflow=load("overflow.npy"))
+
+    def device_arrays(self) -> dict:
+        """Arrays for the jitted lookup kernel, as plain numpy (uint32/int32).
+
+        64-bit-free on purpose: shard starts fit int64 on host but the device
+        kernel receives per-shard (start, size) as int32 pairs when total
+        slots < 2^31 (always true for genomes this index supports).
+        """
+        starts = self.shard_starts
+        return dict(
+            ht_keys=np.ascontiguousarray(self.ht_keys),
+            ht_val1=np.ascontiguousarray(self.ht_val1),
+            ht_val2=np.ascontiguousarray(self.ht_val2),
+            shard_start=starts[:-1].astype(np.int32),
+            shard_size=np.diff(starts).astype(np.int32),
+            overflow=np.ascontiguousarray(self.overflow),
+            genome_codes=np.ascontiguousarray(self.genome.codes),
+            genome_size=np.int64(self.genome_size),
+        )
+
+
+# ----------------------------------------------------------------------
+# builder
+# ----------------------------------------------------------------------
+
+def build_index(genome: Genome, seed_len: int, load_factor: float = 0.7,
+                verbose: bool = False) -> GenomeIndex:
+    if not MIN_SEED_LENGTH <= seed_len <= MAX_SEED_LENGTH:
+        raise ValueError(f"seed length must be in [{MIN_SEED_LENGTH}, {MAX_SEED_LENGTH}]")
+    if genome.num_bases >= 0xFFFFFFF0:
+        raise ValueError("genome too large for 32-bit locations")
+
+    fwd, rc, valid = pack_all_seeds(genome.codes, seed_len)
+    locs = np.nonzero(valid)[0].astype(np.uint32)
+    fwd = fwd[valid]
+    rc = rc[valid]
+
+    canonical = np.minimum(fwd, rc)
+    half = (fwd > rc).astype(np.uint8)   # 1 -> occurrence of the higher seed (value2)
+    del fwd, rc
+
+    # Sort by (canonical, half, descending location): one pass gives us group
+    # boundaries AND the reference's descending overflow-list order.
+    order = np.lexsort((np.uint32(0xFFFFFFFF) - locs, half, canonical))
+    ck = canonical[order]
+    ch = half[order]
+    cl = locs[order]
+    del canonical, half, locs, order
+
+    # (key, half) group boundaries
+    new_group = np.empty(ck.shape[0], dtype=bool)
+    new_group[0] = True
+    np.logical_or(ck[1:] != ck[:-1], ch[1:] != ch[:-1], out=new_group[1:])
+    group_start = np.nonzero(new_group)[0]
+    group_count = np.diff(np.append(group_start, ck.shape[0]))
+    n_groups = group_start.shape[0]
+
+    genome_size = np.uint32(genome.num_bases)
+
+    # overflow layout: concatenated [count, locs...] for every group with >=2 hits
+    is_multi = group_count >= 2
+    multi_counts = group_count[is_multi]
+    entry_sizes = multi_counts + 1
+    entry_starts = np.concatenate(([0], np.cumsum(entry_sizes)))[:-1]
+    overflow_len = int(entry_sizes.sum()) if multi_counts.size else 0
+    if genome.num_bases + overflow_len > 0xFFFFFFF0:
+        raise ValueError("overflow table too large; use a longer seed")
+    overflow = np.empty(overflow_len, dtype=np.uint32)
+    if overflow_len:
+        overflow[entry_starts] = multi_counts.astype(np.uint32)
+        # scatter member locations: rank-within-group + per-group base
+        multi_group_idx = np.nonzero(is_multi)[0]
+        # map each element to its group id
+        elem_group = np.cumsum(new_group) - 1
+        in_multi = is_multi[elem_group]
+        # rank within group for every element
+        rank = np.arange(ck.shape[0], dtype=np.int64) - group_start[elem_group]
+        # overflow slot id of each multi-group, aligned with group ids
+        slot_of_group = np.full(n_groups, -1, dtype=np.int64)
+        slot_of_group[multi_group_idx] = entry_starts
+        dest = slot_of_group[elem_group[in_multi]] + 1 + rank[in_multi]
+        overflow[dest] = cl[in_multi]
+
+    # per-(key,half) value
+    group_value = np.where(is_multi,
+                           genome_size + entry_starts_at(is_multi, entry_starts),
+                           cl[group_start].astype(np.uint64)).astype(np.uint32)
+
+    # collapse to distinct keys: (value1, value2)
+    key_of_group = ck[group_start]
+    half_of_group = ch[group_start]
+    new_key = np.empty(n_groups, dtype=bool)
+    new_key[0] = True
+    np.not_equal(key_of_group[1:], key_of_group[:-1], out=new_key[1:])
+    key_start = np.nonzero(new_key)[0]
+    n_keys = key_start.shape[0]
+    distinct_keys = key_of_group[key_start]
+
+    val1 = np.full(n_keys, _UNUSED, dtype=np.uint32)
+    val2 = np.full(n_keys, _UNUSED, dtype=np.uint32)
+    key_id_of_group = np.cumsum(new_key) - 1
+    h0 = half_of_group == 0
+    val1[key_id_of_group[h0]] = group_value[h0]
+    val2[key_id_of_group[~h0]] = group_value[~h0]
+    del ck, ch, cl
+
+    # shard by high bases; distinct_keys are sorted so shards are contiguous
+    n_shards = 4 ** max(0, seed_len - 16)
+    shard_of_key = (distinct_keys >> np.uint64(32)).astype(np.int64)
+    keys_per_shard = np.bincount(shard_of_key, minlength=n_shards)
+    shard_sizes = np.maximum(2, np.ceil(keys_per_shard / load_factor).astype(np.int64) + 1)
+    shard_sizes[keys_per_shard == 0] = 0
+    shard_starts = np.concatenate(([0], np.cumsum(shard_sizes)))
+    total_slots = int(shard_starts[-1])
+
+    ht_keys = np.zeros(total_slots, dtype=np.uint32)
+    ht_val1 = np.full(total_slots, _EMPTY, dtype=np.uint32)
+    ht_val2 = np.zeros(total_slots, dtype=np.uint32)
+
+    _insert_all(ht_keys, ht_val1, ht_val2,
+                shard_starts, shard_sizes, shard_of_key,
+                (distinct_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                val1, val2, verbose=verbose)
+
+    return GenomeIndex(genome=genome, seed_len=seed_len,
+                       ht_keys=ht_keys, ht_val1=ht_val1, ht_val2=ht_val2,
+                       shard_starts=shard_starts, overflow=overflow)
+
+
+def entry_starts_at(is_multi: np.ndarray, entry_starts: np.ndarray) -> np.ndarray:
+    """Expand compacted entry_starts back to per-group positions (0 where single)."""
+    out = np.zeros(is_multi.shape[0], dtype=np.uint64)
+    out[is_multi] = entry_starts.astype(np.uint64)
+    return out
+
+
+def _insert_all(ht_keys, ht_val1, ht_val2, shard_starts, shard_sizes,
+                shard_of_key, keys_u32, val1, val2, verbose=False):
+    """Vectorized multi-round open-addressing insertion.
+
+    Every round, each still-pending key proposes its current probe slot; the
+    first pending key per free slot wins (resolved with np.unique); everyone
+    else advances one probe step (quadratic for the first 5, then linear),
+    exactly the probe sequence of SNAPHashTable::Lookup so lookups terminate.
+    """
+    n = keys_u32.shape[0]
+    sizes = shard_sizes[shard_of_key]
+    base = shard_starts[shard_of_key]
+    idx = murmur_finalize_u32(keys_u32).astype(np.int64) % np.maximum(sizes, 1)
+    pending = np.arange(n)
+    n_probes = np.zeros(n, dtype=np.int64)
+    round_no = 0
+    while pending.size:
+        slots = (base[pending] + idx[pending])
+        free = ht_val1[slots] == _EMPTY
+        cand = pending[free]
+        cand_slots = slots[free]
+        # first pending key per slot wins
+        uniq_slots, first = np.unique(cand_slots, return_index=True)
+        winners = cand[first]
+        ht_keys[uniq_slots] = keys_u32[winners]
+        ht_val1[uniq_slots] = val1[winners]
+        ht_val2[uniq_slots] = val2[winners]
+        placed = np.zeros(pending.shape[0], dtype=bool)
+        placed_idx = np.zeros(n, dtype=bool)
+        placed_idx[winners] = True
+        placed = placed_idx[pending]
+        pending = pending[~placed]
+        if pending.size:
+            n_probes[pending] += 1
+            np_p = n_probes[pending]
+            step = np.where(np_p < QUADRATIC_CHAINING_DEPTH, np_p * np_p, 1)
+            idx[pending] = (idx[pending] + step) % sizes[pending]
+        round_no += 1
+        if verbose and round_no % 8 == 0:
+            print(f"  insert round {round_no}: {pending.size} pending")
+        if round_no > 10000:
+            raise RuntimeError("hash insertion failed to converge")

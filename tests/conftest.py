@@ -1,0 +1,18 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Tests must not require TPU hardware; multi-chip sharding tests use
+xla_force_host_platform_device_count so the full pjit/shard_map paths
+compile and execute on CPU.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compilation cache: kernels here are compile-heavy and the test
+# host may be single-core; cache across pytest processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/snap_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
