@@ -1,0 +1,206 @@
+"""SAM output (and, later rounds, input).
+
+Analog of reference SNAPLib/SAM.cpp's writer half:
+
+* header: @HD VN:1.4 SO:..., an @RG line (default "ID:FASTQ SM:sample"),
+  @PG ID:SNAP, and one @SQ per piece whose LN excludes the padding
+  (SAM.cpp:736-799);
+* records follow getSAMData (SAM.cpp:820-975): unmapped reads are emitted
+  forward with RNAME */POS 0/MAPQ 0; mapped reads carry 1-based POS within
+  their piece, soft clips around the aligner's CIGAR, and NM:i:<dist>;
+* SEQ/QUAL are the full unclipped read, reverse-complemented when the
+  alignment is RC;
+* QNAME is truncated at the first space (SAM.cpp:1092-1096);
+* transcriptome alignments are rewritten to genome coordinates with splice
+  junction N ops before emission (SAM.cpp:1040-1066) — see rna/splice.py.
+
+CIGARs for a batch of records are computed with the batched device kernel
+(ops/cigar.py), so the host loop only formats strings.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import INVALID_GENOME_LOCATION, MAX_K, MAX_READ_LENGTH
+from ..index.genome import Genome
+from ..ops.cigar import compute_cigars, tokens_to_string
+from ..utils.tables import BASE_VALUE, COMPLEMENT
+from .reads import Read
+
+# SAM flags
+FLAG_PAIRED = 0x1
+FLAG_ALL_ALIGNED = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_NEXT_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_NEXT_REVERSED = 0x20
+FLAG_FIRST_SEGMENT = 0x40
+FLAG_LAST_SEGMENT = 0x80
+
+# result codes shared with models.single
+NOT_FOUND, SINGLE_HIT, MULTIPLE_HITS = 0, 1, 2
+
+
+def make_header(genome: Genome, sorted_output: bool = False,
+                rg_line: str | None = None, command_line: str = "snap-rna-tpu",
+                version: str = "0.1") -> bytes:
+    lines = [f"@HD\tVN:1.4\tSO:{'coordinate' if sorted_output else 'unsorted'}"]
+    lines.append(rg_line or "@RG\tID:FASTQ\tSM:sample")
+    lines.append(f"@PG\tID:SNAP\tPN:SNAP\tCL:{command_line}\tVN:{version}")
+    ends = np.append(genome.piece_offsets[1:], genome.num_bases)
+    for i, name in enumerate(genome.piece_names):
+        ln = int(ends[i] - genome.piece_offsets[i]) - genome.padding
+        lines.append(f"@SQ\tSN:{name}\tLN:{ln}")
+    return ("\n".join(lines) + "\n").encode()
+
+
+class SamRecordBuilder:
+    """Accumulates one batch of alignment results, computes all CIGARs with
+    one device call, then formats records."""
+
+    def __init__(self, genome: Genome, use_m: bool = False,
+                 read_group: str | None = "FASTQ"):
+        self.genome = genome
+        self.use_m = use_m
+        self.read_group = read_group
+        self._items = []
+
+    def add(self, read: Read, result: int, location: int, direction: int,
+            mapq: int, *, mate=None, splice_rewriter=None):
+        """mate: optional dict(result, location, direction, read, first) for
+        paired output; splice_rewriter: callable(tokens, location) -> (tokens,
+        genome_location) for transcriptome records."""
+        self._items.append((read, result, location, direction, mapq, mate,
+                            splice_rewriter))
+
+    def _cigar_inputs(self):
+        """Gather (pattern, text) for every mapped record."""
+        idxs, pats, texts, plens, tlens = [], [], [], [], []
+        L = MAX_READ_LENGTH
+        for i, (read, result, loc, direction, *_rest) in enumerate(self._items):
+            if result == NOT_FOUND or loc in (None, -1, INVALID_GENOME_LOCATION):
+                continue
+            seq = read.clipped_seq()
+            if direction:
+                seq = COMPLEMENT[np.frombuffer(read.seq, np.uint8)][::-1]
+                cb, ca = read.clip_back, read.clip_front
+                seq = seq[cb:len(seq) - ca].tobytes()
+            codes = BASE_VALUE[np.frombuffer(seq, np.uint8)]
+            n = codes.shape[0]
+            text = self.genome.codes[loc:loc + n]
+            idxs.append(i)
+            pats.append(codes)
+            texts.append(text)
+            plens.append(n)
+            tlens.append(len(text))
+        return idxs, pats, texts, plens, tlens
+
+    def flush(self, out) -> int:
+        """Compute CIGARs and write all records to `out` (binary file)."""
+        if not self._items:
+            return 0
+        idxs, pats, texts, plens, tlens = self._cigar_inputs()
+        cigars = {}
+        dists = {}
+        if idxs:
+            # round shapes up to fixed buckets so the CIGAR kernel compiles
+            # once per bucket rather than once per flush
+            P = -(-max(plens) // 128) * 128
+            B = -(-len(idxs) // 64) * 64
+            pat = np.zeros((B, P), np.uint8)
+            txt = np.zeros((B, P), np.uint8)
+            pl = np.zeros(B, np.int32)
+            tl = np.zeros(B, np.int32)
+            for j in range(len(idxs)):
+                pat[j, :plens[j]] = pats[j]
+                txt[j, :tlens[j]] = texts[j]
+                pl[j], tl[j] = plens[j], tlens[j]
+            dist, toks = compute_cigars(pat, pl, txt, tl,
+                                        use_m=self.use_m, k=MAX_K - 1,
+                                        e_max=MAX_K)
+            for j, i in enumerate(idxs):
+                cigars[i] = toks[j]
+                dists[i] = int(dist[j])
+        n = 0
+        for i, item in enumerate(self._items):
+            out.write(self._format(item, cigars.get(i), dists.get(i, -1)))
+            n += 1
+        self._items.clear()
+        return n
+
+    def _format(self, item, tokens, edit_distance) -> bytes:
+        read, result, loc, direction, mapq, mate, splice = item
+        genome = self.genome
+        flags = 0
+        rname, pos, cigar = "*", 0, "*"
+        mapped = result != NOT_FOUND and loc not in (None, -1, INVALID_GENOME_LOCATION)
+        if not mapped:
+            direction = 0
+
+        if direction:
+            seq = COMPLEMENT[np.frombuffer(read.seq, np.uint8)][::-1].tobytes()
+            qual = read.qual[::-1]
+            clip_before, clip_after = read.clip_back, read.clip_front
+        else:
+            seq = read.seq
+            qual = read.qual
+            clip_before, clip_after = read.clip_front, read.clip_back
+
+        if mapped:
+            if direction:
+                flags |= FLAG_REVERSE
+            if splice is not None and tokens is not None:
+                tokens, loc = splice(tokens, loc)
+            name, off = genome.piece_at(loc)
+            rname, pos = name, off + 1
+            mapq = max(0, min(70, int(mapq)))
+            if tokens is not None:
+                full = []
+                if clip_before:
+                    full.append((clip_before, "S"))
+                full += tokens
+                if clip_after:
+                    full.append((clip_after, "S"))
+                cigar = tokens_to_string(full)
+        else:
+            flags |= FLAG_UNMAPPED
+            mapq = 0
+
+        rnext, pnext, tlen = "*", 0, 0
+        if mate is not None:
+            flags |= FLAG_PAIRED
+            flags |= FLAG_FIRST_SEGMENT if mate["first"] else FLAG_LAST_SEGMENT
+            m_mapped = mate["result"] != NOT_FOUND and \
+                mate["location"] not in (None, -1, INVALID_GENOME_LOCATION)
+            if m_mapped:
+                mname, moff = genome.piece_at(mate["location"])
+                if mate["direction"]:
+                    flags |= FLAG_NEXT_REVERSED
+                if not mapped:
+                    rname, pos = mname, moff + 1
+                    rnext, pnext = "=", moff + 1
+                else:
+                    rnext = "=" if mname == rname else mname
+                    pnext = moff + 1
+                    flags |= FLAG_ALL_ALIGNED
+                    if mname == rname:
+                        mread = mate["read"]
+                        m_cb = mread.clip_back if mate["direction"] else mread.clip_front
+                        m_ca = mread.clip_front if mate["direction"] else mread.clip_back
+                        my_start = loc - clip_before
+                        my_end = loc + read.data_length + clip_after
+                        mate_start = mate["location"] - m_cb
+                        mate_end = mate["location"] + mread.data_length + m_ca
+                        if my_start < mate_start:
+                            tlen = mate_end - my_start
+                        else:
+                            tlen = -(my_end - mate_start)
+            else:
+                flags |= FLAG_NEXT_UNMAPPED
+                rnext, pnext = "=", pos
+
+        qname = read.rid.split(b" ")[0].split(b"\t")[0].decode()
+        rg = f"\tRG:Z:{self.read_group}" if self.read_group else ""
+        return (f"{qname}\t{flags}\t{rname}\t{pos}\t{mapq}\t{cigar}\t"
+                f"{rnext}\t{pnext}\t{tlen}\t{seq.decode()}\t{qual.decode()}"
+                f"{rg}\tPG:Z:SNAP\tNM:i:{edit_distance}\n").encode()

@@ -1,0 +1,114 @@
+"""Host pipelines: stream reads -> batch -> device engine -> SAM.
+
+Analog of the per-thread loops in reference SingleAligner.cpp:241-303 and
+the surrounding AlignerContext orchestration, restructured for a device:
+instead of one read at a time through thread-local aligners, reads stream
+into fixed-shape, same-length batches (double-buffered onto the device) and
+results stream out through the batched SAM record builder.
+
+Read-level filters mirror SingleAligner.cpp:246-257: clipped length < 50,
+more Ns than max_dist, or failing the phred quality filter -> emitted
+unmapped without touching the aligner.
+"""
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import DEFAULT_MIN_READ_LENGTH
+from ..index.hash_index import GenomeIndex
+from ..io import fastq as fq
+from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
+from ..io.sam import NOT_FOUND, SamRecordBuilder, make_header
+from ..utils.stats import AlignerStats
+from ..utils.wgsim import wgsim_misaligned
+from .single import SingleAligner, SingleAlignerConfig
+
+
+@dataclass
+class PipelineOptions:
+    batch_size: int = 256
+    use_m: bool = False
+    read_group: str | None = "FASTQ"
+    clipping: int = CLIP_FRONT_AND_BACK
+    min_read_length: int = DEFAULT_MIN_READ_LENGTH
+    compute_error: bool = False          # -e: wgsim accuracy oracle
+    misalign_threshold: int = 15
+    sorted_output: bool = False
+
+
+class SingleEndPipeline:
+    """Genome-only single-end alignment: FASTQ(.gz) -> SAM."""
+
+    def __init__(self, index: GenomeIndex, aligner_config: SingleAlignerConfig | None = None,
+                 options: PipelineOptions | None = None, **aligner_overrides):
+        self.index = index
+        self.aligner = SingleAligner(index, aligner_config, **aligner_overrides)
+        self.opt = options or PipelineOptions()
+        self.stats = AlignerStats()
+
+    def run(self, fastq_path: str, out_path: str, command_line: str = "snap-rna-tpu"):
+        opt = self.opt
+        stats = self.stats
+        maxk = self.aligner.cfg.max_k
+        with open(out_path, "wb") as out:
+            out.write(make_header(self.index.genome, sorted_output=opt.sorted_output,
+                                  command_line=command_line))
+            builder = SamRecordBuilder(self.index.genome, use_m=opt.use_m,
+                                       read_group=opt.read_group)
+            buckets: dict[int, list] = defaultdict(list)
+            t0 = time.time()
+
+            def flush_bucket(length: int):
+                reads = buckets.pop(length, [])
+                if not reads:
+                    return
+                # fixed batch capacity -> one compiled kernel per read length
+                batch = make_batch(reads, length, opt.batch_size)
+                res = self.aligner.align_batch(batch.codes, batch.quals)
+                stats.lv_calls += int(res["n_lookups"])
+                stats.popular_skipped += int(res["popular"].sum())
+                stats.truncated_candidates += int((res["truncated"] > 0).sum())
+                for i, r in enumerate(reads):
+                    result = int(res["result"][i])
+                    loc = int(res["loc"][i])
+                    direction = int(res["direction"][i])
+                    mapq = int(res["mapq"][i])
+                    was_error = False
+                    if result != NOT_FOUND and opt.compute_error:
+                        was_error = wgsim_misaligned(
+                            r, loc, self.index.genome, opt.misalign_threshold)
+                    if result == 1:
+                        stats.single_hits += 1
+                    elif result == 2:
+                        stats.multi_hits += 1
+                    else:
+                        stats.not_found += 1
+                    if result != NOT_FOUND:
+                        stats.record_mapq(mapq, was_error)
+                    builder.add(r, result, loc if result != NOT_FOUND else -1,
+                                direction, mapq)
+                builder.flush(out)
+
+            for read in fq.read_fastq(fastq_path):
+                stats.total_reads += 1
+                clip_read(read, opt.clipping)
+                if (read.data_length < opt.min_read_length
+                        or count_ns(read) > maxk
+                        or not quality_filter(read)):
+                    stats.not_found += 1
+                    builder.add(read, NOT_FOUND, -1, 0, 0)
+                    continue
+                stats.useful_reads += 1
+                L = read.data_length
+                buckets[L].append(read)
+                if len(buckets[L]) >= opt.batch_size:
+                    flush_bucket(L)
+            for L in list(buckets):
+                flush_bucket(L)
+            builder.flush(out)
+            stats.align_time = time.time() - t0
+        return stats

@@ -1,0 +1,169 @@
+"""Batched seed packing + hash-table lookup on device.
+
+TPU-native analog of GenomeIndex::lookupSeed (GenomeIndex.cpp:966-1086) and
+SNAPHashTable::Lookup (HashTable.h:74-105):
+
+* seeds for a whole batch of reads are packed with vectorized shifts
+  (Seed.h:38-51 semantics: A=0,G=1,C=2,T=3, RC = code^3 mirrored);
+* the probe loop is ONE lax.while_loop over the whole (B, S) seed tensor:
+  every iteration gathers a key/value lane per seed and advances unfinished
+  lanes along the reference's probe sequence (murmur start, quadratic for 5
+  probes, then linear) — the loop runs for the max probe count in the batch,
+  not the sum;
+* seeds longer than 16 bases select a shard (= the reference's per-high-bases
+  hash table, GenomeIndex.cpp:316) via (start, size) metadata gathers.
+
+All arithmetic is uint32/int32 — no 64-bit needed on device.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import INVALID_GENOME_LOCATION, UNUSED_HASH_VALUE
+
+_EMPTY = jnp.uint32(INVALID_GENOME_LOCATION)
+_UNUSED = jnp.uint32(UNUSED_HASH_VALUE)
+MAX_PROBES = 64  # safety bound; real probe chains are < 10 at our load factor
+
+
+def murmur32(key: jnp.ndarray) -> jnp.ndarray:
+    """MurmurHash3 finalizer (HashTable.h:60-72) on uint32 lanes."""
+    k = key.astype(jnp.uint32)
+    k = k ^ (k >> 16)
+    k = k * jnp.uint32(0x85EBCA6B)
+    k = k ^ (k >> 13)
+    k = k * jnp.uint32(0xC2B2AE35)
+    k = k ^ (k >> 16)
+    return k
+
+
+def pack_seeds(reads: jnp.ndarray, positions: jnp.ndarray, seed_len: int):
+    """Pack seeds of each read at the given start positions.
+
+    reads: (B, L) uint8 base codes; positions: (S,) int32 (shared schedule).
+    Returns dict with lo/hi (u32 (B,S)) for fwd and rc packs plus validity.
+    Bases are 2-bit big-endian-by-base; lo = last 16 bases, hi = the rest
+    (Seed.h:60-66).
+    """
+    B, L = reads.shape
+    S = positions.shape[0]
+    idx = positions[None, :, None] + jnp.arange(seed_len, dtype=jnp.int32)
+    window = jnp.take_along_axis(
+        reads[:, None, :].astype(jnp.int32),
+        jnp.broadcast_to(jnp.clip(idx, 0, L - 1), (B, S, seed_len)), axis=2)
+    valid = (window < 4).all(axis=2)
+
+    n_hi = max(0, seed_len - 16)
+    lo_f = jnp.zeros((B, S), jnp.uint32)
+    hi_f = jnp.zeros((B, S), jnp.uint32)
+    lo_r = jnp.zeros((B, S), jnp.uint32)
+    hi_r = jnp.zeros((B, S), jnp.uint32)
+    w = window.astype(jnp.uint32)
+    wc = w ^ jnp.uint32(3)
+    for i in range(seed_len):
+        # forward: base i lands at bit 2*(seed_len-1-i); shifts are even so a
+        # 2-bit field never straddles the 32-bit boundary
+        sh = 2 * (seed_len - 1 - i)
+        if sh >= 32:
+            hi_f = hi_f | (w[:, :, i] << (sh - 32))
+        else:
+            lo_f = lo_f | (w[:, :, i] << sh)
+        # rc: complement of base i lands at bit 2*i
+        shr = 2 * i
+        if shr >= 32:
+            hi_r = hi_r | (wc[:, :, i] << (shr - 32))
+        else:
+            lo_r = lo_r | (wc[:, :, i] << shr)
+    return dict(lo_f=lo_f, hi_f=hi_f, lo_r=lo_r, hi_r=hi_r, valid=valid,
+                n_hi_bits=2 * n_hi)
+
+
+def lookup_seeds(packed: dict, ht_keys, ht_val1, ht_val2,
+                 shard_start, shard_size):
+    """Probe the index for every (read, seed).
+
+    Returns (found, fwd_val, rc_val): found bool (B,S); values u32 (B,S)
+    holding the reference entry halves already swapped so fwd_val describes
+    the seed as read and rc_val its reverse complement (the
+    isBiggerThanItsReverseComplement dance of GenomeIndex.cpp:984-1010).
+    """
+    lo_f, hi_f = packed["lo_f"], packed["hi_f"]
+    lo_r, hi_r = packed["lo_r"], packed["hi_r"]
+    valid = packed["valid"]
+
+    # canonical = min((hi,lo) fwd, (hi,lo) rc) lexicographically
+    fwd_smaller = (hi_f < hi_r) | ((hi_f == hi_r) & (lo_f <= lo_r))
+    key = jnp.where(fwd_smaller, lo_f, lo_r)
+    shard = jnp.where(fwd_smaller, hi_f, hi_r).astype(jnp.int32)
+    palindrome = (hi_f == hi_r) & (lo_f == lo_r)
+
+    base = shard_start[shard]
+    size = shard_size[shard]
+    size_safe = jnp.maximum(size, 1)
+
+    idx0 = (murmur32(key) % size_safe.astype(jnp.uint32)).astype(jnp.int32)
+
+    def gather(idx):
+        g = base + idx
+        return ht_keys[g], ht_val1[g], ht_val2[g]
+
+    k0, v10, v20 = gather(idx0)
+    hit0 = (k0 == key) & (v10 != _EMPTY)
+    dead0 = (size <= 0) | ~valid
+
+    def cond(state):
+        done, *_ , n = state
+        return (~done).any() & (n < MAX_PROBES)
+
+    def body(state):
+        done, idx, slot_v1, slot_v2, n_probes, found, n = state
+        n_probes = jnp.where(done, n_probes, n_probes + 1)
+        step = jnp.where(n_probes < 5, n_probes * n_probes, 1)
+        idx = jnp.where(done, idx, (idx + step) % size_safe)
+        kk, v1, v2 = gather(idx)
+        is_hit = (kk == key) & (v1 != _EMPTY)
+        is_end = (v1 == _EMPTY) | (n_probes > size + 5)
+        newly = ~done & (is_hit | is_end)
+        found = jnp.where(newly & is_hit, True, found)
+        slot_v1 = jnp.where(newly & is_hit, v1, slot_v1)
+        slot_v2 = jnp.where(newly & is_hit, v2, slot_v2)
+        done = done | newly
+        return done, idx, slot_v1, slot_v2, n_probes, found, n + 1
+
+    state0 = (hit0 | dead0, idx0, jnp.where(hit0, v10, _UNUSED),
+              jnp.where(hit0, v20, _UNUSED),
+              jnp.zeros_like(idx0), hit0 & ~dead0, jnp.int32(0))
+    done, _, v1, v2, _, found, _ = jax.lax.while_loop(cond, body, state0)
+
+    fwd_val = jnp.where(found, jnp.where(fwd_smaller, v1, v2), _UNUSED)
+    rc_val = jnp.where(found, jnp.where(fwd_smaller, v2, v1), _UNUSED)
+    rc_val = jnp.where(palindrome, fwd_val, rc_val)
+    return found, fwd_val, rc_val
+
+
+def expand_counts(val: jnp.ndarray, overflow: jnp.ndarray, genome_size) -> tuple:
+    """Decode an entry half into (count, list_base).
+
+    count: 0 (unused), 1 (direct location), or overflow count.
+    list_base: index into `overflow` of the first location (descending list),
+    or -1 when the value IS the single location (GenomeIndex.cpp:1013-1086).
+    """
+    gsize = jnp.uint32(genome_size)
+    is_unused = val == _UNUSED
+    is_single = val < gsize
+    ovf_off = jnp.where(is_single | is_unused, 0, val - gsize).astype(jnp.int32)
+    ovf_count = overflow[jnp.clip(ovf_off, 0, overflow.shape[0] - 1)] if overflow.shape[0] else jnp.zeros_like(val)
+    count = jnp.where(is_unused, 0,
+                      jnp.where(is_single, 1, ovf_count)).astype(jnp.int32)
+    list_base = jnp.where(is_single | is_unused, -1, ovf_off + 1)
+    return count, list_base
+
+
+def gather_hit(slot_in_list, count, list_base, val, overflow):
+    """Location of the `slot_in_list`-th hit of an entry half."""
+    direct = list_base < 0
+    ovf_idx = jnp.clip(list_base + slot_in_list, 0,
+                       max(overflow.shape[0] - 1, 0))
+    from_ovf = overflow[ovf_idx] if overflow.shape[0] else jnp.zeros_like(val)
+    return jnp.where(direct, val, from_ovf)

@@ -72,8 +72,11 @@ class LVResult(NamedTuple):
     net_indel: jnp.ndarray   # int32 (B,): insertions - deletions along the alignment
     e_final: jnp.ndarray     # int32 (B,): DP level reached (== distance when > 0)
     d_final: jnp.ndarray     # int32 (B,): winning diagonal
-    L: jnp.ndarray           # int32 (B, E_MAX+1, D): DP table (for CIGAR backtrace)
-    A: jnp.ndarray           # int32 (B, E_MAX+1, D): action table
+    L: jnp.ndarray           # int32 (B, E_MAX+1, D): DP table (when keep_tables)
+    A: jnp.ndarray           # int32 (B, E_MAX+1, D): action table (when keep_tables)
+    acts: jnp.ndarray        # int32 (B, E_MAX): edit action at level e (when keep_tables)
+    matched: jnp.ndarray     # int32 (B, E_MAX): exact-match run after level e
+    start_run: jnp.ndarray   # int32 (B,): L[0][center] = leading exact-match run
 
 
 def _d_order(e_max: int, cigar_order: bool) -> np.ndarray:
@@ -216,7 +219,7 @@ def lv_distance(pattern: jnp.ndarray,
                              jnp.moveaxis(As, 0, 1)], axis=1)
 
     # ---- backtrace: match probability + net indel -------------------------
-    log_prob, net_indel = _backtrace_prob(
+    log_prob, net_indel, acts_bt, matched_bt = _backtrace_prob(
         pattern, p_len, quality, L_all, A_all, e_fin, d_fin, e_max)
 
     log_perfect = p_len.astype(jnp.float32) * LOG_ONE_MINUS_SNP
@@ -224,11 +227,15 @@ def lv_distance(pattern: jnp.ndarray,
     net_indel = jnp.where(perfect, 0, net_indel)
     log_prob = jnp.where(dist >= 0, log_prob, NEG_INF)
 
+    start_run = L0[:, center]
     if not keep_tables:
         L_all = jnp.zeros((B, 0, D), jnp.int32)
         A_all = jnp.zeros((B, 0, D), jnp.int32)
+        acts_bt = jnp.zeros((B, 0), jnp.int32)
+        matched_bt = jnp.zeros((B, 0), jnp.int32)
     return LVResult(distance=dist, log_prob=log_prob, net_indel=net_indel,
-                    e_final=e_fin, d_final=d_fin, L=L_all, A=A_all)
+                    e_final=e_fin, d_final=d_fin, L=L_all, A=A_all,
+                    acts=acts_bt, matched=matched_bt, start_run=start_run)
 
 
 def _backtrace_prob(pattern, p_len, quality, L_all, A_all, e_fin, d_fin, e_max):
@@ -309,4 +316,4 @@ def _backtrace_prob(pattern, p_len, quality, L_all, A_all, e_fin, d_fin, e_max):
         fwd_step, carry0, (acts, matched, es_f))
 
     logp = logp + (p_len - e_fin).astype(jnp.float32) * LOG_ONE_MINUS_SNP
-    return logp, net
+    return logp, net, acts.T, matched.T

@@ -1,0 +1,23 @@
+"""JAX runtime setup helpers."""
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    The aligner kernels are compile-heavy (banded DP scans); caching compiled
+    executables across processes makes CLI start-up and test reruns fast.
+    The env var JAX_COMPILATION_CACHE_DIR is not reliably picked up on all
+    backends, so we set the config explicitly.
+    """
+    import jax
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/snap_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older/newer jax without these knobs: cache is an optimization only

@@ -13,6 +13,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Persistent compilation cache: kernels here are compile-heavy and the test
 # host may be single-core; cache across pytest processes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/snap_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+from snap_rnaseq_tpu.utils.jax_setup import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
