@@ -49,6 +49,11 @@ class GenomeIndex:
     ht_val2: np.ndarray        # uint32[total_slots]
     shard_starts: np.ndarray   # int64[n_shards+1] slot offset of each shard
     overflow: np.ndarray       # uint32[overflow_len]
+    # overflow offset where each logical shard's entries begin; the overflow
+    # list is laid out in canonical-seed order, so shards own contiguous
+    # overflow ranges — the seam that lets a pod slice the whole index by
+    # seed high-bases (see parallel/sharded.py)
+    shard_ovf_starts: np.ndarray = None  # int64[n_shards+1]
 
     @property
     def n_shards(self) -> int:
@@ -136,6 +141,7 @@ class GenomeIndex:
         np.save(os.path.join(directory, "ht_val2.npy"), self.ht_val2)
         np.save(os.path.join(directory, "shard_starts.npy"), self.shard_starts)
         np.save(os.path.join(directory, "overflow.npy"), self.overflow)
+        np.save(os.path.join(directory, "shard_ovf_starts.npy"), self.shard_ovf_starts)
 
     @classmethod
     def load(cls, directory: str, mmap: bool = True) -> "GenomeIndex":
@@ -148,7 +154,8 @@ class GenomeIndex:
                    ht_keys=load("ht_keys.npy"), ht_val1=load("ht_val1.npy"),
                    ht_val2=load("ht_val2.npy"),
                    shard_starts=load("shard_starts.npy"),
-                   overflow=load("overflow.npy"))
+                   overflow=load("overflow.npy"),
+                   shard_ovf_starts=load("shard_ovf_starts.npy"))
 
     def device_arrays(self) -> dict:
         """Arrays for the jitted lookup kernel, as plain numpy (uint32/int32).
@@ -273,9 +280,19 @@ def build_index(genome: Genome, seed_len: int, load_factor: float = 0.7,
                 (distinct_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32),
                 val1, val2, verbose=verbose)
 
+    # overflow entries are in canonical order, so each logical shard owns a
+    # contiguous overflow range; record the boundaries for index sharding
+    multi_shards = (key_of_group[is_multi] >> np.uint64(32)).astype(np.int64)
+    entry_ext = np.append(entry_starts, overflow_len).astype(np.int64)
+    bounds = np.searchsorted(multi_shards, np.arange(n_shards + 1))
+    shard_ovf_starts = entry_ext[np.minimum(bounds, len(entry_ext) - 1)] \
+        if len(entry_ext) else np.zeros(n_shards + 1, np.int64)
+    shard_ovf_starts[-1] = overflow_len
+
     return GenomeIndex(genome=genome, seed_len=seed_len,
                        ht_keys=ht_keys, ht_val1=ht_val1, ht_val2=ht_val2,
-                       shard_starts=shard_starts, overflow=overflow)
+                       shard_starts=shard_starts, overflow=overflow,
+                       shard_ovf_starts=shard_ovf_starts)
 
 
 def entry_starts_at(is_multi: np.ndarray, entry_starts: np.ndarray) -> np.ndarray:

@@ -1,0 +1,134 @@
+"""Paired-end host pipeline: two FASTQs -> batches -> paired engine -> SAM.
+
+Analog of PairedAlignerContext::runIterationThread (PairedAligner.cpp:547-668)
+minus the RNA layer (rna/pipeline.py adds the transcriptome + filter pass):
+per-pair quality filters, paired alignment with chimeric fallback, SAM
+emission with mate fields/TLEN.
+"""
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from dataclasses import dataclass
+
+from ..constants import DEFAULT_MIN_READ_LENGTH
+from ..index.hash_index import GenomeIndex
+from ..io import fastq as fq
+from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
+from ..io.sam import NOT_FOUND, SamRecordBuilder, make_header
+from ..utils.stats import AlignerStats
+from ..utils.wgsim import wgsim_misaligned
+from .paired import PairedAligner, PairedAlignerConfig
+
+
+@dataclass
+class PairedPipelineOptions:
+    batch_size: int = 256
+    use_m: bool = False
+    read_group: str | None = "FASTQ"
+    clipping: int = CLIP_FRONT_AND_BACK
+    min_read_length: int = DEFAULT_MIN_READ_LENGTH
+    compute_error: bool = False
+    misalign_threshold: int = 15
+    min_spacing: int = 50
+    max_spacing: int = 1000
+    sorted_output: bool = False
+
+
+class PairedEndPipeline:
+    def __init__(self, index: GenomeIndex, config: PairedAlignerConfig | None = None,
+                 options: PairedPipelineOptions | None = None, **aligner_overrides):
+        self.index = index
+        self.opt = options or PairedPipelineOptions()
+        self.aligner = PairedAligner(index, config,
+                                     min_spacing=self.opt.min_spacing,
+                                     max_spacing=self.opt.max_spacing,
+                                     **aligner_overrides)
+        self.stats = AlignerStats()
+
+    def run(self, fq0: str, fq1: str, out_path: str,
+            command_line: str = "snap-rna-tpu"):
+        opt = self.opt
+        stats = self.stats
+        maxk = self.aligner.cfg.max_k
+        with open(out_path, "wb") as out:
+            out.write(make_header(self.index.genome,
+                                  sorted_output=opt.sorted_output,
+                                  command_line=command_line))
+            builder = SamRecordBuilder(self.index.genome, use_m=opt.use_m,
+                                       read_group=opt.read_group)
+            buckets = defaultdict(list)
+            t0 = time.time()
+
+            def emit_pair(r0, r1, res0, loc0, dir0, mq0, res1, loc1, dir1, mq1,
+                          paired):
+                for r, res, loc, d, mq, mate_read, mres, mloc, mdir, first in (
+                        (r0, res0, loc0, dir0, mq0, r1, res1, loc1, dir1, True),
+                        (r1, res1, loc1, dir1, mq1, r0, res0, loc0, dir0, False)):
+                    builder.add(r, res, loc if res != NOT_FOUND else -1, d, mq,
+                                mate=dict(result=mres,
+                                          location=mloc if mres != NOT_FOUND else -1,
+                                          direction=mdir, read=mate_read,
+                                          first=first))
+                    if res == 1:
+                        stats.single_hits += 1
+                    elif res == 2:
+                        stats.multi_hits += 1
+                    else:
+                        stats.not_found += 1
+                    if res != NOT_FOUND:
+                        was_err = opt.compute_error and wgsim_misaligned(
+                            r, loc, self.index.genome, opt.misalign_threshold)
+                        stats.record_mapq(mq, was_err)
+                if paired:
+                    stats.aligned_as_pairs += 2
+
+            def flush_bucket(L):
+                pairs = buckets.pop(L, [])
+                if not pairs:
+                    return
+                b0 = make_batch([p[0] for p in pairs], L, opt.batch_size)
+                b1 = make_batch([p[1] for p in pairs], L, opt.batch_size)
+                res = self.aligner.align_batch(b0.codes, b0.quals,
+                                               b1.codes, b1.quals)
+                stats.truncated_candidates += int(
+                    (res["truncated0"] > 0).sum() + (res["truncated1"] > 0).sum())
+                for i, (r0, r1) in enumerate(pairs):
+                    emit_pair(r0, r1,
+                              int(res["result0"][i]), int(res["loc0"][i]),
+                              int(res["dir0"][i]), int(res["mapq0"][i]),
+                              int(res["result1"][i]), int(res["loc1"][i]),
+                              int(res["dir1"][i]), int(res["mapq1"][i]),
+                              bool(res["pair_found"][i]))
+                builder.flush(out)
+
+            for r0, r1 in fq.read_paired_fastq(fq0, fq1):
+                stats.total_reads += 2
+                clip_read(r0, opt.clipping)
+                clip_read(r1, opt.clipping)
+                bad = any(r.data_length < opt.min_read_length
+                          or count_ns(r) > maxk or not quality_filter(r)
+                          for r in (r0, r1))
+                if bad:
+                    stats.not_found += 2
+                    builder.add(r0, NOT_FOUND, -1, 0, 0,
+                                mate=dict(result=NOT_FOUND, location=-1,
+                                          direction=0, read=r1, first=True))
+                    builder.add(r1, NOT_FOUND, -1, 0, 0,
+                                mate=dict(result=NOT_FOUND, location=-1,
+                                          direction=0, read=r0, first=False))
+                    continue
+                stats.useful_reads += 2
+                if r0.data_length != r1.data_length:
+                    # rare mixed-length pair: bucket by the max, N-padding
+                    L = max(r0.data_length, r1.data_length)
+                else:
+                    L = r0.data_length
+                buckets[L].append((r0, r1))
+                if len(buckets[L]) >= opt.batch_size:
+                    flush_bucket(L)
+            for L in list(buckets):
+                flush_bucket(L)
+            builder.flush(out)
+            stats.align_time = time.time() - t0
+        return stats

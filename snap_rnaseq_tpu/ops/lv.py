@@ -140,11 +140,14 @@ def lv_distance(pattern: jnp.ndarray,
             + jnp.arange(P, dtype=jnp.int32)[None, :])          # (D, P)
     shifted = textp[:, gidx]                                     # (B, D, P)
     match = shifted == pattern[:, None, :]
-    mm_idx = jnp.where(match, jnp.int32(P), pos[None, None, :])
+    # int16 halves the footprint of the biggest tensor in the kernel
+    # (P is always < 2^15; MAX_READ_LENGTH is 512)
+    mm_idx = jnp.where(match, jnp.int16(P), pos.astype(jnp.int16)[None, None, :])
     # nextmm[b,d,p] = min_{q>=p} mm_idx[b,d,q]  (reversed cumulative min)
     nextmm = jnp.flip(jax.lax.cummin(jnp.flip(mm_idx, axis=2), axis=2), axis=2)
     # appending sentinel column P so gathers at p == P return P
-    nextmm = jnp.concatenate([nextmm, jnp.full((B, D, 1), P, dtype=jnp.int32)], axis=2)
+    nextmm = jnp.concatenate([nextmm, jnp.full((B, D, 1), P, dtype=jnp.int16)],
+                             axis=2)
 
     d_vals = jnp.arange(-e_max, e_max + 1, dtype=jnp.int32)      # (D,)
     end_d = jnp.minimum(p_len[:, None], t_len[:, None] - d_vals[None, :])  # (B, D)
@@ -153,7 +156,7 @@ def lv_distance(pattern: jnp.ndarray,
         """best -> min(nextmm[., d, best], end_d) when pattern[best]==text[best+d]."""
         gb = jnp.clip(best, 0, P)
         ext = jnp.take_along_axis(nextmm, gb[:, :, None], axis=2)[:, :, 0]
-        ext = jnp.minimum(ext, end_d)
+        ext = jnp.minimum(ext.astype(jnp.int32), end_d)
         # only extend when the very next byte matches (i.e. nextmm > best);
         # when it doesn't, nextmm == best so min() keeps best: the formula
         # already reproduces the reference's `if (*p == *t)` gate.
@@ -162,7 +165,7 @@ def lv_distance(pattern: jnp.ndarray,
     # ---- level 0 ----------------------------------------------------------
     center = e_max
     end0 = jnp.minimum(p_len, t_len)
-    first_mm = jnp.minimum(nextmm[:, center, 0], end0)
+    first_mm = jnp.minimum(nextmm[:, center, 0].astype(jnp.int32), end0)
     L0 = jnp.full((B, D), -2, dtype=jnp.int32).at[:, center].set(first_mm)
 
     perfect = first_mm >= end0

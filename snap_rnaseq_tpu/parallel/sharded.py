@@ -1,0 +1,210 @@
+"""Multi-chip SPMD alignment: index sharded by seed high-bases over a mesh.
+
+The reference scales by threads over shared memory (ParallelTask.h,
+RangeSplitter.h); its only index partitioning is the 4^(seedLen-16) hash
+tables selected by a seed's high bases (GenomeIndex.cpp:312-316).  That
+partitioning key is exactly our device-sharding seam:
+
+  mesh = ('data', 'index')
+  reads   : sharded over 'data' (pure data parallelism over batches)
+  hash    : logical tables split into contiguous ranges over 'index', each
+            device holding its slot slice + the matching overflow slice
+            (overflow is laid out in canonical-seed order, so ranges are
+            contiguous — index/hash_index.py)
+  genome  : replicated (2-bit-packable later; u8 hg19 fits one chip's HBM)
+
+Data flow per step (shard_map over the mesh):
+  1. every (data, index) device packs its reads' seeds and probes its OWN
+     table slice; unowned seeds come back not-found;
+  2. per-seed hit counts are psum-ed over 'index' -> the global budget /
+     popularity / lowest-possible-score bookkeeping is computed identically
+     everywhere;
+  3. each index device expands ITS hits into candidate slots; candidates
+     all_gather over 'index' (the only sizeable collective, rides ICI);
+  4. the LV scoring work — the FLOPs — is re-split over 'index' by slicing
+     the gathered candidate axis, then all_gather-ed back;
+  5. the cheap replay/selection runs replicated.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import INVALID_GENOME_LOCATION, UNUSED_HASH_VALUE
+from ..index.hash_index import GenomeIndex
+from ..models import single as sg
+
+
+def partition_index(index: GenomeIndex, n_idx: int) -> dict:
+    """Split the index into n_idx device slices (stacked leading axis).
+
+    Each slice keeps the FULL logical-shard metadata vectors (n_shards
+    entries) with size 0 for unowned tables, so the unmodified lookup kernel
+    naturally misses on unowned seeds.
+    """
+    n_shards = index.n_shards
+    if n_idx > n_shards:
+        raise ValueError(f"cannot split {n_shards} logical tables over {n_idx} devices")
+    starts = index.shard_starts
+    ovf_starts = index.shard_ovf_starts
+    total_slots = int(starts[-1])
+    gsize = index.genome_size
+
+    # contiguous ranges of logical shards, balanced by slot count
+    targets = np.linspace(0, total_slots, n_idx + 1)
+    cut = np.searchsorted(starts, targets[1:-1], side="left")
+    cuts = np.concatenate(([0], cut, [n_shards])).astype(np.int64)
+
+    max_slots = 0
+    max_ovf = 1
+    for d in range(n_idx):
+        lo, hi = cuts[d], cuts[d + 1]
+        max_slots = max(max_slots, int(starts[hi] - starts[lo]))
+        max_ovf = max(max_ovf, int(ovf_starts[hi] - ovf_starts[lo]))
+
+    keys = np.zeros((n_idx, max_slots), np.uint32)
+    val1 = np.full((n_idx, max_slots), INVALID_GENOME_LOCATION, np.uint32)
+    val2 = np.zeros((n_idx, max_slots), np.uint32)
+    ovf = np.zeros((n_idx, max_ovf), np.uint32)
+    sh_start = np.zeros((n_idx, n_shards), np.int32)
+    sh_size = np.zeros((n_idx, n_shards), np.int32)
+
+    for d in range(n_idx):
+        lo, hi = int(cuts[d]), int(cuts[d + 1])
+        s0, s1 = int(starts[lo]), int(starts[hi])
+        o0, o1 = int(ovf_starts[lo]), int(ovf_starts[hi])
+        keys[d, :s1 - s0] = index.ht_keys[s0:s1]
+        v1 = index.ht_val1[s0:s1].astype(np.uint64)
+        v2 = index.ht_val2[s0:s1].astype(np.uint64)
+        # rebase overflow pointers (value >= genome size) to the local slice
+        for v in (v1, v2):
+            is_ovf = (v >= gsize) & (v != INVALID_GENOME_LOCATION) & \
+                (v != UNUSED_HASH_VALUE)
+            v[is_ovf] -= np.uint64(o0)
+        val1[d, :s1 - s0] = v1.astype(np.uint32)
+        val2[d, :s1 - s0] = v2.astype(np.uint32)
+        ovf[d, :o1 - o0] = index.overflow[o0:o1]
+        sh_start[d, lo:hi] = (starts[lo:hi] - s0).astype(np.int32)
+        sh_size[d, lo:hi] = np.diff(starts[lo:hi + 1]).astype(np.int32)
+
+    return dict(ht_keys=keys, ht_val1=val1, ht_val2=val2, overflow=ovf,
+                shard_start=sh_start, shard_size=sh_size, cuts=cuts)
+
+
+class ShardedSingleAligner:
+    """Single-end aligner running SPMD over a ('data', 'index') mesh."""
+
+    def __init__(self, index: GenomeIndex, mesh: Mesh,
+                 config: sg.SingleAlignerConfig | None = None, **overrides):
+        self.index = index
+        self.mesh = mesh
+        cfg = config or sg.SingleAlignerConfig(seed_len=index.seed_len)
+        if overrides:
+            cfg = sg.SingleAlignerConfig(**{**cfg.__dict__, **overrides})
+        self.cfg = cfg
+        self.n_data = mesh.shape["data"]
+        self.n_idx = mesh.shape["index"]
+        parts = partition_index(index, self.n_idx)
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        self._ht = {k: put(parts[k], P("index"))
+                    for k in ("ht_keys", "ht_val1", "ht_val2", "overflow",
+                              "shard_start", "shard_size")}
+        self._genome = put(np.ascontiguousarray(index.genome.codes), P())
+        self._pieces = put(index.genome.piece_offsets.astype(np.int32), P())
+        self.genome_size = index.genome_size
+
+    def align_batch(self, reads: np.ndarray, quals: np.ndarray) -> dict:
+        B, L = reads.shape
+        if B % self.n_data:
+            raise ValueError("batch must divide the data axis")
+        positions, wraps = seed_position_schedule_cached(L, self.index.seed_len,
+                                                         self.cfg.max_seed_slots)
+        out = _sharded_align(
+            jax.device_put(reads, NamedSharding(self.mesh, P("data"))),
+            jax.device_put(quals, NamedSharding(self.mesh, P("data"))),
+            self._ht["ht_keys"], self._ht["ht_val1"], self._ht["ht_val2"],
+            self._ht["shard_start"], self._ht["shard_size"],
+            self._ht["overflow"], self._genome, self._pieces,
+            jnp.asarray(positions), jnp.asarray(wraps),
+            mesh=self.mesh, cfg=self.cfg, seed_len=self.index.seed_len,
+            read_len=L, genome_size=self.genome_size, n_idx=self.n_idx)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def seed_position_schedule_cached(read_len, seed_len, max_slots):
+    from ..utils.seed_sequencer import seed_position_schedule
+    positions, wraps = seed_position_schedule(read_len, seed_len)
+    S = min(max_slots, len(positions))
+    return positions[:S], wraps[:S]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "seed_len", "read_len", "genome_size",
+                     "n_idx"))
+def _sharded_align(reads, quals, ht_keys, ht_val1, ht_val2, shard_start,
+                   shard_size, overflow, genome_codes, piece_starts,
+                   schedule, wraps, *, mesh, cfg, seed_len, read_len,
+                   genome_size, n_idx):
+
+    def step(reads_l, quals_l, keys_l, v1_l, v2_l, sstart_l, ssize_l, ovf_l,
+             genome, pieces):
+        # leading device axis of size 1 from shard_map: strip it
+        keys_l, v1_l, v2_l = keys_l[0], v1_l[0], v2_l[0]
+        sstart_l, ssize_l, ovf_l = sstart_l[0], ssize_l[0], ovf_l[0]
+
+        B = reads_l.shape[0]
+        S = schedule.shape[0]
+
+        seeds = sg.seed_phase(reads_l, schedule, seed_len, keys_l, v1_l, v2_l,
+                              sstart_l, ssize_l, ovf_l, genome_size)
+        counts_local = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
+        counts_global = jax.lax.psum(counts_local, "index")
+        budget = sg.budget_phase(seeds["valid"], counts_global, wraps, cfg)
+
+        cands = sg.expand_phase(seeds, budget, schedule, ovf_l, cfg, seed_len,
+                                read_len, cfg.cand_per_read)
+
+        # gather candidates from every index shard (fields are small ints)
+        gathered = {}
+        for k in ("read", "dir", "loc", "order", "offset", "round", "lp", "live"):
+            g = jax.lax.all_gather(cands[k], "index")       # (n_idx, B*CPR)
+            gathered[k] = g.reshape(-1)
+        u = sg.aggregate_phase(gathered)
+
+        # split LV scoring over the index axis
+        C_total = u["read"].shape[0]
+        C_slice = C_total // n_idx
+        me = jax.lax.axis_index("index")
+        u_slice = {k: jax.lax.dynamic_slice_in_dim(v, me * C_slice, C_slice)
+                   for k, v in u.items()}
+        sc_slice = sg.score_phase(u_slice, reads_l, quals_l, genome, pieces,
+                                  cfg, seed_len, read_len, genome_size)
+        sc = {k: jax.lax.all_gather(v, "index").reshape(C_total, *v.shape[1:])
+              for k, v in sc_slice.items()}
+
+        out = sg.replay_phase(u, sc, budget, reads_l, B, S, cfg)
+        out["truncated"] = jax.lax.psum(cands["truncated"], "index")
+        # scalar stats don't fit P('data') out_specs; fold into a per-read vec
+        out["n_lookups"] = jnp.broadcast_to(
+            jax.lax.psum(seeds["found"].sum(), "index")[None], (B,))
+        return out
+
+    from jax.experimental.shard_map import shard_map
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data"), P("data"),
+                  P("index"), P("index"), P("index"),
+                  P("index"), P("index"), P("index"),
+                  P(), P()),
+        out_specs=P("data"),
+        check_rep=False)
+    return fn(reads, quals, ht_keys, ht_val1, ht_val2, shard_start,
+              shard_size, overflow, genome_codes, piece_starts)

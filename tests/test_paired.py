@@ -1,0 +1,99 @@
+"""Paired-end engine + pipeline tests on simulated read pairs."""
+import numpy as np
+import pytest
+
+from snap_rnaseq_tpu.index.genome import genome_from_codes
+from snap_rnaseq_tpu.index.hash_index import build_index
+from snap_rnaseq_tpu.models.paired import PairedAligner
+from snap_rnaseq_tpu.utils.tables import decode_bases, reverse_complement_codes
+
+
+@pytest.fixture(scope="module")
+def sim():
+    rng = np.random.default_rng(11)
+    G = 300000
+    codes = rng.integers(0, 4, G, dtype=np.uint8)
+    g = genome_from_codes(codes)
+    idx = build_index(g, seed_len=20)
+
+    B, L, FRAG = 48, 100, 300
+    starts = rng.integers(0, G - FRAG, B)
+    r0 = np.zeros((B, L), np.uint8)
+    r1 = np.zeros((B, L), np.uint8)
+    for i, s in enumerate(starts):
+        fwd = codes[s:s + L].copy()
+        rc = reverse_complement_codes(codes[s + FRAG - L:s + FRAG])
+        for arr in (fwd, rc):
+            for _ in range(int(rng.integers(0, 3))):
+                p = rng.integers(0, L)
+                arr[p] = (arr[p] + rng.integers(1, 4)) % 4
+        # read0 forward, read1 is the RC mate (standard FR orientation)
+        r0[i], r1[i] = fwd, rc
+    q = np.full((B, L), ord("I"), np.uint8)
+    return idx, g, r0, r1, q, starts, FRAG, L
+
+
+def test_paired_alignment(sim):
+    idx, g, r0, r1, q, starts, FRAG, L = sim
+    al = PairedAligner(idx, cand_per_read=64, max_seed_slots=32)
+    out = al.align_batch(r0, q, r1, q)
+    B = r0.shape[0]
+    base = int(g.piece_offsets[0])
+    n_pairs = int(out["pair_found"].sum())
+    assert n_pairs >= B - 1
+    ok = 0
+    for i in range(B):
+        want0 = starts[i] + base
+        want1 = starts[i] + FRAG - L + base
+        if (abs(int(out["loc0"][i]) - want0) <= 2
+                and abs(int(out["loc1"][i]) - want1) <= 2
+                and out["dir0"][i] == 0 and out["dir1"][i] == 1):
+            ok += 1
+    assert ok >= B - 1
+    assert (out["mapq0"][out["pair_found"]] >= 10).mean() > 0.9
+
+
+def test_chimeric_fallback(sim):
+    """Ends mapping outside the spacing window still align via fallback."""
+    idx, g, r0, r1, q, starts, FRAG, L = sim
+    al = PairedAligner(idx, cand_per_read=64, max_seed_slots=32,
+                       max_spacing=150)  # fragment is 300 -> no valid pairs
+    out = al.align_batch(r0[:8], q[:8], r1[:8], q[:8])
+    assert not out["pair_found"].any()
+    base = int(g.piece_offsets[0])
+    for i in range(8):
+        assert out["result0"][i] != 0
+        assert abs(int(out["loc0"][i]) - (starts[i] + base)) <= 2
+
+
+def test_paired_pipeline_sam(tmp_path, sim):
+    idx, g, r0, r1, q, starts, FRAG, L = sim
+    from snap_rnaseq_tpu.index.genome import write_fasta
+    from snap_rnaseq_tpu.cli import main as cli_main
+
+    idx_dir = tmp_path / "idx"
+    idx.save(str(idx_dir))
+    with open(tmp_path / "r1.fq", "wb") as f0, open(tmp_path / "r2.fq", "wb") as f1:
+        for i in range(r0.shape[0]):
+            f0.write(b"@p%d\n" % i + decode_bases(r0[i]) + b"\n+\n" + b"I" * L + b"\n")
+            f1.write(b"@p%d\n" % i + decode_bases(r1[i]) + b"\n+\n" + b"I" * L + b"\n")
+    rc = cli_main(["paired", str(idx_dir), str(tmp_path / "r1.fq"),
+                   str(tmp_path / "r2.fq"), "-o", str(tmp_path / "out.sam")])
+    assert rc == 0
+    recs = [l.decode().split("\t") for l in open(tmp_path / "out.sam", "rb")
+            if not l.startswith(b"@")]
+    assert len(recs) == 2 * r0.shape[0]
+    by_name = {}
+    for f in recs:
+        by_name.setdefault(f[0], []).append(f)
+    for name, pair in by_name.items():
+        assert len(pair) == 2
+        a, b = pair
+        fa, fb = int(a[1]), int(b[1])
+        assert fa & 0x1 and fb & 0x1          # paired flag
+        assert (fa & 0x40) != (fb & 0x40) or (fa & 0x80) != (fb & 0x80)
+        if not (fa & 0x4) and not (fb & 0x4):
+            assert fa & 0x2                    # proper pair
+            assert a[6] == "=" and b[6] == "="
+            tlen_a, tlen_b = int(a[8]), int(b[8])
+            assert tlen_a == -tlen_b and abs(tlen_a) == 300
