@@ -1,0 +1,143 @@
+"""SAM/BAM input readers + unified read-supplier dispatch.
+
+Analog of the reference's input half:
+
+* SAMReader (SAM.h:50+): parse records, recover the as-sequenced read by
+  un-reverse-complementing FLAG 0x10 records;
+* BAMReader (Bam.h:291): BGZF-decompress (native/), parse the binary
+  header + records;
+* PairedReadMatcher (PairedReadMatcher.cpp:34-55): pair mates from a single
+  interleaved stream by read id;
+* ReadSupplier dispatch by extension (FASTQ/FASTQ.gz/SAM/BAM), the
+  FileFormat + supplier-generator tower of Read.h:49-79 collapsed to two
+  generator functions.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .. import native
+from ..utils.tables import COMPLEMENT
+from .reads import Read
+
+_BAM_CIGAR_CHARS = "MIDNSHP=X"
+_SEQ4_CHARS = b"=ACMGRSVTWYHKDBN"
+
+
+def _unrc(seq: bytes, qual: bytes) -> tuple[bytes, bytes]:
+    rc = COMPLEMENT[np.frombuffer(seq, np.uint8)][::-1].tobytes()
+    return rc, qual[::-1]
+
+
+def read_sam(path):
+    """Yield Read objects from a SAM file (as-sequenced orientation)."""
+    with open(path, "rb") as f:
+        for line in f:
+            if line.startswith(b"@") or not line.strip():
+                continue
+            fields = line.rstrip(b"\n").split(b"\t")
+            if len(fields) < 11:
+                raise ValueError(f"bad SAM record: {line[:60]!r}")
+            flag = int(fields[1])
+            seq, qual = fields[9], fields[10]
+            if seq == b"*":
+                continue
+            if flag & 0x10:
+                seq, qual = _unrc(seq, qual)
+            yield Read(rid=fields[0], seq=seq, qual=qual)
+
+
+def bam_records(path):
+    """Yield raw BAM record dicts from a BAM file."""
+    with open(path, "rb") as f:
+        data = native.bgzf_decompress(f.read())
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    l_text = struct.unpack_from("<i", data, 4)[0]
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", data, off)[0]
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", data, off)[0]
+        name = data[off + 4:off + 4 + l_name - 1].decode()
+        l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
+        refs.append((name, l_ref))
+        off += 8 + l_name
+    while off < len(data):
+        block_size = struct.unpack_from("<i", data, off)[0]
+        body = data[off + 4:off + 4 + block_size]
+        off += 4 + block_size
+        (ref_id, pos, l_read_name, mapq, bin_, n_cigar, flag, l_seq,
+         next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", body)
+        p = 32
+        qname = body[p:p + l_read_name - 1]
+        p += l_read_name
+        cigar = []
+        for _ in range(n_cigar):
+            v = struct.unpack_from("<I", body, p)[0]
+            cigar.append((v >> 4, _BAM_CIGAR_CHARS[v & 0xF]))
+            p += 4
+        packed = body[p:p + (l_seq + 1) // 2]
+        p += (l_seq + 1) // 2
+        quals = body[p:p + l_seq]
+        p += l_seq
+        codes = np.frombuffer(packed, np.uint8)
+        hi = codes >> 4
+        lo = codes & 0xF
+        interleaved = np.empty(hi.size * 2, np.uint8)
+        interleaved[0::2] = hi
+        interleaved[1::2] = lo
+        seq = bytes(bytearray(_SEQ4_CHARS[c] for c in interleaved[:l_seq]))
+        qual = bytes((np.frombuffer(quals, np.uint8) + 33).astype(np.uint8)) \
+            if l_seq else b""
+        yield dict(qname=qname, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
+                   cigar=cigar, next_ref=next_ref, next_pos=next_pos,
+                   tlen=tlen, seq=seq, qual=qual, aux=body[p:], refs=refs)
+
+
+def read_bam(path):
+    """Yield Read objects from a BAM file (as-sequenced orientation)."""
+    for rec in bam_records(path):
+        seq, qual = rec["seq"], rec["qual"]
+        if not seq:
+            continue
+        if rec["flag"] & 0x10:
+            seq, qual = _unrc(seq, qual)
+        yield Read(rid=rec["qname"], seq=seq, qual=qual)
+
+
+def open_read_supplier(path):
+    """Single-end supplier dispatch by extension (FileFormat analog)."""
+    from . import fastq as fq
+    lower = str(path).lower()
+    if lower.endswith(".sam"):
+        return read_sam(path)
+    if lower.endswith(".bam"):
+        return read_bam(path)
+    return fq.read_fastq(path)
+
+
+def _pair_interleaved(reads):
+    """PairedReadMatcher: pair mates by qname from one stream."""
+    pending: dict[bytes, Read] = {}
+    for r in reads:
+        key = bytes(r.rid.split(b" ")[0].split(b"\t")[0])
+        mate = pending.pop(key, None)
+        if mate is None:
+            pending[key] = r
+        else:
+            yield mate, r
+    if pending:
+        raise ValueError(f"{len(pending)} reads had no mate in paired input")
+
+
+def open_paired_read_supplier(path0, path1=None):
+    """Paired supplier: two FASTQs in lockstep, or one interleaved SAM/BAM."""
+    from . import fastq as fq
+    lower = str(path0).lower()
+    if path1 is None or lower.endswith((".sam", ".bam")):
+        return _pair_interleaved(open_read_supplier(path0))
+    return fq.read_paired_fastq(path0, path1)

@@ -66,12 +66,15 @@ class SamRecordBuilder:
         self._items = []
 
     def add(self, read: Read, result: int, location: int, direction: int,
-            mapq: int, *, mate=None, splice_rewriter=None):
+            mapq: int, *, mate=None, splice_rewriter=None, tsource=None):
         """mate: optional dict(result, location, direction, read, first) for
-        paired output; splice_rewriter: callable(tokens, location) -> (tokens,
-        genome_location) for transcriptome records."""
+        paired output; splice_rewriter: callable(tokens) -> tokens rewriting
+        transcript-space CIGAR tokens to genome space (N ops inserted);
+        tsource: optional (codes_array, tlocation) — the transcriptome the
+        CIGAR text is gathered from instead of the output genome
+        (SAM.cpp:1040-1066's transcriptome branch)."""
         self._items.append((read, result, location, direction, mapq, mate,
-                            splice_rewriter))
+                            splice_rewriter, tsource))
 
     def _cigar_inputs(self):
         """Gather (pattern, text) for every mapped record."""
@@ -80,6 +83,7 @@ class SamRecordBuilder:
         for i, (read, result, loc, direction, *_rest) in enumerate(self._items):
             if result == NOT_FOUND or loc in (None, -1, INVALID_GENOME_LOCATION):
                 continue
+            tsource = self._items[i][7]
             seq = read.clipped_seq()
             if direction:
                 seq = COMPLEMENT[np.frombuffer(read.seq, np.uint8)][::-1]
@@ -87,7 +91,11 @@ class SamRecordBuilder:
                 seq = seq[cb:len(seq) - ca].tobytes()
             codes = BASE_VALUE[np.frombuffer(seq, np.uint8)]
             n = codes.shape[0]
-            text = self.genome.codes[loc:loc + n]
+            if tsource is not None:
+                src, tloc = tsource
+                text = src[tloc:tloc + n]
+            else:
+                text = self.genome.codes[loc:loc + n]
             idxs.append(i)
             pats.append(codes)
             texts.append(text)
@@ -122,17 +130,33 @@ class SamRecordBuilder:
                 cigars[i] = toks[j]
                 dists[i] = int(dist[j])
         n = 0
+        record_out = hasattr(out, "write_record")
         for i, item in enumerate(self._items):
-            out.write(self._format(item, cigars.get(i), dists.get(i, -1)))
+            fields = self._fields(item, cigars.get(i), dists.get(i, -1))
+            blob = self._render(fields)
+            if record_out:
+                out.write_record(self._sort_key(fields), blob)
+            else:
+                out.write(blob)
             n += 1
         self._items.clear()
         return n
 
-    def _format(self, item, tokens, edit_distance) -> bytes:
-        read, result, loc, direction, mapq, mate, splice = item
+    def _sort_key(self, f: dict):
+        """Flat genome location for coordinate-sorted output
+        (SortedDataWriter's SortEntry.location)."""
+        if f["rname"] is None:
+            return None
+        return self.genome.offset_of_piece(f["rname"]) + f["pos"] - 1
+
+    def _fields(self, item, tokens, edit_distance) -> dict:
+        """Compute every SAM/BAM field for one record (getSAMData analog,
+        SAM.cpp:820-975).  Rendering to text or binary happens in _render."""
+        read, result, loc, direction, mapq, mate, splice, _tsource = item
         genome = self.genome
         flags = 0
-        rname, pos, cigar = "*", 0, "*"
+        rname, pos = None, 0
+        cigar = None
         mapped = result != NOT_FOUND and loc not in (None, -1, INVALID_GENOME_LOCATION)
         if not mapped:
             direction = 0
@@ -150,7 +174,7 @@ class SamRecordBuilder:
             if direction:
                 flags |= FLAG_REVERSE
             if splice is not None and tokens is not None:
-                tokens, loc = splice(tokens, loc)
+                tokens = splice(tokens)
             name, off = genome.piece_at(loc)
             rname, pos = name, off + 1
             mapq = max(0, min(70, int(mapq)))
@@ -161,12 +185,12 @@ class SamRecordBuilder:
                 full += tokens
                 if clip_after:
                     full.append((clip_after, "S"))
-                cigar = tokens_to_string(full)
+                cigar = full
         else:
             flags |= FLAG_UNMAPPED
             mapq = 0
 
-        rnext, pnext, tlen = "*", 0, 0
+        rnext, pnext, tlen = None, 0, 0
         if mate is not None:
             flags |= FLAG_PAIRED
             flags |= FLAG_FIRST_SEGMENT if mate["first"] else FLAG_LAST_SEGMENT
@@ -178,9 +202,9 @@ class SamRecordBuilder:
                     flags |= FLAG_NEXT_REVERSED
                 if not mapped:
                     rname, pos = mname, moff + 1
-                    rnext, pnext = "=", moff + 1
+                    rnext, pnext = mname, moff + 1
                 else:
-                    rnext = "=" if mname == rname else mname
+                    rnext = mname
                     pnext = moff + 1
                     flags |= FLAG_ALL_ALIGNED
                     if mname == rname:
@@ -197,10 +221,26 @@ class SamRecordBuilder:
                             tlen = -(my_end - mate_start)
             else:
                 flags |= FLAG_NEXT_UNMAPPED
-                rnext, pnext = "=", pos
+                rnext, pnext = rname, pos
 
-        qname = read.rid.split(b" ")[0].split(b"\t")[0].decode()
+        qname = read.rid.split(b" ")[0].split(b"\t")[0]
+        return dict(qname=qname, flags=flags, rname=rname, pos=pos,
+                    mapq=mapq, cigar=cigar, rnext=rnext, pnext=pnext,
+                    tlen=tlen, seq=seq, qual=qual,
+                    edit_distance=edit_distance)
+
+    def _render(self, f: dict) -> bytes:
+        """SAM text line from computed fields."""
+        rname = f["rname"] or "*"
+        if f["rnext"] is None:
+            rnext = "*"
+        elif f["rnext"] == f["rname"]:
+            rnext = "="
+        else:
+            rnext = f["rnext"]
+        cigar = tokens_to_string(f["cigar"]) if f["cigar"] else "*"
         rg = f"\tRG:Z:{self.read_group}" if self.read_group else ""
-        return (f"{qname}\t{flags}\t{rname}\t{pos}\t{mapq}\t{cigar}\t"
-                f"{rnext}\t{pnext}\t{tlen}\t{seq.decode()}\t{qual.decode()}"
-                f"{rg}\tPG:Z:SNAP\tNM:i:{edit_distance}\n").encode()
+        return (f"{f['qname'].decode()}\t{f['flags']}\t{rname}\t{f['pos']}\t"
+                f"{f['mapq']}\t{cigar}\t{rnext}\t{f['pnext']}\t{f['tlen']}\t"
+                f"{f['seq'].decode()}\t{f['qual'].decode()}"
+                f"{rg}\tPG:Z:SNAP\tNM:i:{f['edit_distance']}\n").encode()

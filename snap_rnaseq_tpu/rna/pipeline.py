@@ -1,0 +1,350 @@
+"""RNA-seq host pipelines: dual genome + transcriptome alignment.
+
+Analog of the reference's RNA-mode per-thread loops:
+
+* single-end: SingleAlignerContext::runIterationThread
+  (SingleAligner.cpp:241-303) — transcriptome AlignRead + genome AlignRead
+  -> AlignmentFilter::FilterSingle -> contamination fallback -> writeRead
+  with splice-junction CIGAR rewriting;
+* paired-end: PairedAlignerContext::runIterationThread
+  (PairedAligner.cpp:547-668) — transcriptome multi-hit AlignRead per end +
+  genome paired align -> AlignmentFilter::Filter -> contamination fallback
+  -> forceSpacing fixup + MAPQ "cheese" -> writePair;
+* run end: GTFReader::AnalyzeReadIntervals + WriteReadCounts +
+  ContaminationFilter::Write (AlignerContext.cpp:125-132).
+
+TPU shape: both indices are aligned with the same batched device engine
+(models/single.py, models/paired.py); the filter is per-read host logic over
+the small candidate sets the device returns.
+"""
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+
+from ..constants import DEFAULT_CONF_DIFF
+from ..index.hash_index import GenomeIndex
+from ..io import fastq as fq
+from ..io.reads import clip_read, count_ns, make_batch, quality_filter
+from ..io.sam import NOT_FOUND, SamRecordBuilder, make_header
+from ..models.paired import PairedAligner
+from ..models.paired_pipeline import PairedPipelineOptions
+from ..models.pipeline import PipelineOptions
+from ..models.single import SingleAligner
+from ..utils.stats import AlignerStats
+from ..utils.tables import BASE_VALUE
+from .contamination import ContaminationFilter
+from .filter import (MULTIPLE_HITS, SINGLE_HIT, AlignmentFilter,
+                     characterize_seeds)
+from .gtf import GTFReader
+from .splice import insert_splice_junctions
+
+
+def _output_prefix(out_path: str) -> str:
+    base = os.path.basename(out_path)
+    stem = base.rsplit(".", 1)[0] if "." in base else base
+    return os.path.join(os.path.dirname(out_path) or ".", stem)
+
+
+class _RnaBase:
+    def __init__(self, genome_dir: str, transcriptome_dir: str,
+                 annotation: str, contamination_dir: str | None = None):
+        self.genome_index = GenomeIndex.load(genome_dir)
+        self.transcriptome_index = GenomeIndex.load(transcriptome_dir)
+        self.gtf = GTFReader.load(annotation)
+        self.contamination_index = (GenomeIndex.load(contamination_dir)
+                                    if contamination_dir else None)
+        self.c_filter = None
+
+    def _make_splice_rewriter(self, tlocation: int):
+        """Bind the transcript + transcript-space pos for the SAM writer."""
+        tname, toff = self.transcriptome_index.genome.piece_at(tlocation)
+        transcript = self.gtf.get_transcript(tname)
+        tpos = toff + 1
+
+        def rewrite(tokens):
+            return insert_splice_junctions(transcript, tpos, tokens)
+        return rewrite
+
+    def _finish_run(self, prefix: str):
+        self.gtf.analyze_read_intervals(prefix)
+        self.gtf.write_read_counts(prefix)
+        if self.c_filter is not None:
+            self.c_filter.write(prefix)
+
+    def _characterizer_for(self, codes_list):
+        """Per-pair seed characterizer over the genome index (the reference's
+        'special' partial-match BaseAligner, PairedAligner.cpp:517-530)."""
+        cache = {}
+
+        def run(end):
+            if end not in cache:
+                cache[end] = characterize_seeds(self.genome_index,
+                                                codes_list[end])
+            return cache[end]
+        return run
+
+
+class RnaSingleEndPipeline(_RnaBase):
+    def __init__(self, genome_dir, transcriptome_dir, annotation,
+                 options: PipelineOptions | None = None,
+                 contamination_dir: str | None = None,
+                 conf_diff: int = DEFAULT_CONF_DIFF, **aligner_overrides):
+        super().__init__(genome_dir, transcriptome_dir, annotation,
+                         contamination_dir)
+        self.opt = options or PipelineOptions()
+        self.conf_diff = conf_diff
+        self.g_aligner = SingleAligner(self.genome_index, **aligner_overrides)
+        self.t_aligner = SingleAligner(self.transcriptome_index,
+                                       **aligner_overrides)
+        self.c_aligner = (SingleAligner(self.contamination_index)
+                          if self.contamination_index else None)
+        if self.c_aligner:
+            self.c_filter = ContaminationFilter(self.contamination_index.genome)
+        self.stats = AlignerStats()
+
+    def run(self, fastq_path: str, out_path: str,
+            command_line: str = "snap-rna-tpu"):
+        opt, stats = self.opt, self.stats
+        maxk = self.g_aligner.cfg.max_k
+        genome = self.genome_index.genome
+        tcodes = self.transcriptome_index.genome.codes
+        prefix = _output_prefix(out_path)
+        with open(out_path, "wb") as out:
+            out.write(make_header(genome, sorted_output=opt.sorted_output,
+                                  command_line=command_line))
+            builder = SamRecordBuilder(genome, use_m=opt.use_m,
+                                       read_group=opt.read_group)
+            buckets = defaultdict(list)
+            t0 = time.time()
+
+            def flush_bucket(L):
+                reads = buckets.pop(L, [])
+                if not reads:
+                    return
+                batch = make_batch(reads, L, opt.batch_size)
+                g_res = self.g_aligner.align_batch(batch.codes, batch.quals)
+                t_res = self.t_aligner.align_batch(batch.codes, batch.quals)
+                c_res = None
+                for i, r in enumerate(reads):
+                    filt = AlignmentFilter(
+                        genome, self.transcriptome_index.genome, self.gtf,
+                        0, 0, self.conf_diff, maxk,
+                        self.genome_index.seed_len,
+                        read_lens=(r.data_length, 0), read_ids=(r.rid, b""))
+                    filt.add_alignment(
+                        int(t_res["loc"][i]), int(t_res["direction"][i]),
+                        int(t_res["score"][i]), int(t_res["mapq"][i]),
+                        True, 0)
+                    filt.add_alignment(
+                        int(g_res["loc"][i]), int(g_res["direction"][i]),
+                        int(g_res["score"][i]), int(g_res["mapq"][i]),
+                        False, 0)
+                    res = filt.filter_single()
+                    if res.status == NOT_FOUND and self.c_aligner is not None:
+                        if c_res is None:
+                            c_res = self.c_aligner.align_batch(batch.codes,
+                                                               batch.quals)
+                        if int(c_res["result"][i]) != NOT_FOUND:
+                            self.c_filter.add_alignment(int(c_res["loc"][i]))
+                    splice = tsrc = None
+                    if res.status != NOT_FOUND and res.is_transcriptome:
+                        splice = self._make_splice_rewriter(res.tlocation)
+                        tsrc = (tcodes, res.tlocation)
+                    builder.add(r, res.status,
+                                res.location if res.status != NOT_FOUND else -1,
+                                res.direction, res.mapq,
+                                splice_rewriter=splice, tsource=tsrc)
+                    if res.status == SINGLE_HIT:
+                        stats.single_hits += 1
+                    elif res.status == MULTIPLE_HITS:
+                        stats.multi_hits += 1
+                    else:
+                        stats.not_found += 1
+                    if res.status != NOT_FOUND:
+                        stats.record_mapq(res.mapq, False)
+                builder.flush(out)
+
+            for read in fq.read_fastq(fastq_path):
+                stats.total_reads += 1
+                clip_read(read, opt.clipping)
+                if (read.data_length < opt.min_read_length
+                        or count_ns(read) > maxk or not quality_filter(read)):
+                    stats.not_found += 1
+                    builder.add(read, NOT_FOUND, -1, 0, 0)
+                    continue
+                stats.useful_reads += 1
+                buckets[read.data_length].append(read)
+                if len(buckets[read.data_length]) >= opt.batch_size:
+                    flush_bucket(read.data_length)
+            for L in list(buckets):
+                flush_bucket(L)
+            builder.flush(out)
+            stats.align_time = time.time() - t0
+        self._finish_run(prefix)
+        return stats
+
+
+class RnaPairedEndPipeline(_RnaBase):
+    def __init__(self, genome_dir, transcriptome_dir, annotation,
+                 options: PairedPipelineOptions | None = None,
+                 contamination_dir: str | None = None,
+                 conf_diff: int = DEFAULT_CONF_DIFF,
+                 transcriptome_multi_hits: int = 64,
+                 force_spacing: bool = False, **aligner_overrides):
+        super().__init__(genome_dir, transcriptome_dir, annotation,
+                         contamination_dir)
+        self.opt = options or PairedPipelineOptions()
+        self.conf_diff = conf_diff
+        self.force_spacing = force_spacing
+        self.g_aligner = PairedAligner(self.genome_index,
+                                       min_spacing=self.opt.min_spacing,
+                                       max_spacing=self.opt.max_spacing,
+                                       **aligner_overrides)
+        # transcriptome per-end aligner with multi-hit output; the reference
+        # uses maxHitsToGet=1000 (PairedAligner.cpp:584) — we default to a
+        # static 64-slot buffer (device shapes are fixed), configurable up
+        t_over = dict(aligner_overrides)
+        t_over.pop("max_hits_to_get", None)
+        self.t_aligner = SingleAligner(self.transcriptome_index,
+                                       max_hits_to_get=transcriptome_multi_hits,
+                                       **t_over)
+        self.c_aligner = (PairedAligner(self.contamination_index)
+                          if self.contamination_index else None)
+        if self.c_aligner:
+            self.c_filter = ContaminationFilter(self.contamination_index.genome)
+        self.stats = AlignerStats()
+
+    def run(self, fq0: str, fq1: str, out_path: str,
+            command_line: str = "snap-rna-tpu"):
+        opt, stats = self.opt, self.stats
+        maxk = self.g_aligner.cfg.max_k
+        genome = self.genome_index.genome
+        tcodes = self.transcriptome_index.genome.codes
+        prefix = _output_prefix(out_path)
+        with open(out_path, "wb") as out:
+            out.write(make_header(genome, sorted_output=opt.sorted_output,
+                                  command_line=command_line))
+            builder = SamRecordBuilder(genome, use_m=opt.use_m,
+                                       read_group=opt.read_group)
+            buckets = defaultdict(list)
+            t0 = time.time()
+
+            def flush_bucket(L):
+                pairs = buckets.pop(L, [])
+                if not pairs:
+                    return
+                b0 = make_batch([p[0] for p in pairs], L, opt.batch_size)
+                b1 = make_batch([p[1] for p in pairs], L, opt.batch_size)
+                g_res = self.g_aligner.align_batch(b0.codes, b0.quals,
+                                                   b1.codes, b1.quals)
+                t_res0 = self.t_aligner.align_batch(b0.codes, b0.quals)
+                t_res1 = self.t_aligner.align_batch(b1.codes, b1.quals)
+                c_res = None
+                for i, (r0, r1) in enumerate(pairs):
+                    filt = AlignmentFilter(
+                        genome, self.transcriptome_index.genome, self.gtf,
+                        opt.min_spacing, opt.max_spacing, self.conf_diff,
+                        maxk, self.genome_index.seed_len,
+                        read_lens=(r0.data_length, r1.data_length),
+                        read_ids=(r0.rid, r1.rid),
+                        characterizer=self._characterizer_for(
+                            (b0.codes[i], b1.codes[i])))
+                    # transcriptome multi-hits per end (mapq 0, like the
+                    # reference's multi-hit AddAlignment calls)
+                    for e, tr in ((0, t_res0), (1, t_res1)):
+                        n = int(tr["mh_n"][i])
+                        for j in range(n):
+                            filt.add_alignment(
+                                int(tr["mh_loc"][i, j]),
+                                int(tr["mh_dir"][i, j]),
+                                int(tr["mh_score"][i, j]), 0, True, e)
+                    # genome paired results
+                    for e in (0, 1):
+                        filt.add_alignment(
+                            int(g_res[f"loc{e}"][i]),
+                            int(g_res[f"dir{e}"][i]),
+                            int(g_res[f"score{e}"][i]),
+                            int(g_res[f"mapq{e}"][i]), False, e)
+                    pres = filt.filter_paired()
+                    e0, e1 = pres.ends
+
+                    if e0.status == NOT_FOUND and e1.status == NOT_FOUND \
+                            and self.c_aligner is not None:
+                        if c_res is None:
+                            c_res = self.c_aligner.align_batch(
+                                b0.codes, b0.quals, b1.codes, b1.quals)
+                        if int(c_res["result0"][i]) != NOT_FOUND and \
+                                int(c_res["result1"][i]) != NOT_FOUND:
+                            self.c_filter.add_alignment(int(c_res["loc0"][i]))
+                            self.c_filter.add_alignment(int(c_res["loc1"][i]))
+
+                    if self.force_spacing and \
+                            (e0.status == SINGLE_HIT) != (e1.status == SINGLE_HIT):
+                        e0.status = e1.status = NOT_FOUND
+
+                    # the reference's MAPQ "cheese" (PairedAligner.cpp:653-663)
+                    if e0.score + e1.score >= 5:
+                        if e0.mapq < 50:
+                            e0.mapq //= 2
+                        if e1.mapq < 50:
+                            e1.mapq //= 2
+
+                    for r, e, m, first in ((r0, e0, e1, True),
+                                           (r1, e1, e0, False)):
+                        splice = tsrc = None
+                        if e.status != NOT_FOUND and e.is_transcriptome:
+                            splice = self._make_splice_rewriter(e.tlocation)
+                            tsrc = (tcodes, e.tlocation)
+                        builder.add(
+                            r, e.status,
+                            e.location if e.status != NOT_FOUND else -1,
+                            e.direction, e.mapq,
+                            mate=dict(result=m.status,
+                                      location=m.location if m.status != NOT_FOUND else -1,
+                                      direction=m.direction,
+                                      read=r1 if first else r0,
+                                      first=first),
+                            splice_rewriter=splice, tsource=tsrc)
+                        if e.status == SINGLE_HIT:
+                            stats.single_hits += 1
+                        elif e.status == MULTIPLE_HITS:
+                            stats.multi_hits += 1
+                        else:
+                            stats.not_found += 1
+                        if e.status != NOT_FOUND:
+                            stats.record_mapq(e.mapq, False)
+                    if pres.aligned_as_pair:
+                        stats.aligned_as_pairs += 2
+                builder.flush(out)
+
+            for r0, r1 in fq.read_paired_fastq(fq0, fq1):
+                stats.total_reads += 2
+                clip_read(r0, opt.clipping)
+                clip_read(r1, opt.clipping)
+                bad = any(r.data_length < opt.min_read_length
+                          or count_ns(r) > maxk or not quality_filter(r)
+                          for r in (r0, r1))
+                if bad:
+                    stats.not_found += 2
+                    builder.add(r0, NOT_FOUND, -1, 0, 0,
+                                mate=dict(result=NOT_FOUND, location=-1,
+                                          direction=0, read=r1, first=True))
+                    builder.add(r1, NOT_FOUND, -1, 0, 0,
+                                mate=dict(result=NOT_FOUND, location=-1,
+                                          direction=0, read=r0, first=False))
+                    continue
+                stats.useful_reads += 2
+                L = max(r0.data_length, r1.data_length)
+                buckets[L].append((r0, r1))
+                if len(buckets[L]) >= opt.batch_size:
+                    flush_bucket(L)
+            for L in list(buckets):
+                flush_bucket(L)
+            builder.flush(out)
+            stats.align_time = time.time() - t0
+        self._finish_run(prefix)
+        return stats
