@@ -23,7 +23,10 @@ import time
 def _add_align_flags(p: argparse.ArgumentParser, paired: bool):
     from .constants import PAIRED_DEFAULTS, SINGLE_DEFAULTS
     d = PAIRED_DEFAULTS if paired else SINGLE_DEFAULTS
-    p.add_argument("-o", dest="output", required=True, help="output SAM path")
+    p.add_argument("-o", dest="output", required=True,
+                   help="output path (.sam, .sam.gz, or .bam)")
+    p.add_argument("-so", dest="sorted_output", action="store_true",
+                   help="sort output by alignment location")
     p.add_argument("-d", dest="max_dist", type=int, default=d["max_dist"],
                    help="maximum edit distance")
     p.add_argument("-n", dest="num_seeds", type=int, default=d["num_seeds"],
@@ -134,7 +137,8 @@ def cmd_single(argv):
     index = GenomeIndex.load(genome_dir)
     opt = PipelineOptions(batch_size=a.batch_size, use_m=a.use_m,
                           read_group=a.read_group, clipping=_clip_mode(a.clipping),
-                          compute_error=a.compute_error)
+                          compute_error=a.compute_error,
+                          sorted_output=a.sorted_output)
     cmdline = "snap-rna-tpu single " + " ".join(pos + flags)
     if transcriptome_dir is None:
         pipe = SingleEndPipeline(index, options=opt, max_k=a.max_dist,
@@ -177,7 +181,8 @@ def cmd_paired(argv):
     opt = PairedPipelineOptions(
         batch_size=a.batch_size, use_m=a.use_m, read_group=a.read_group,
         clipping=_clip_mode(a.clipping), compute_error=a.compute_error,
-        min_spacing=a.spacing[0], max_spacing=a.spacing[1])
+        min_spacing=a.spacing[0], max_spacing=a.spacing[1],
+        sorted_output=a.sorted_output)
     cmdline = "snap-rna-tpu paired " + " ".join(pos + flags)
     if transcriptome_dir is None:
         pipe = PairedEndPipeline(index, options=opt, max_k=a.max_dist,

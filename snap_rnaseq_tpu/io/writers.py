@@ -166,3 +166,20 @@ def open_output(path: str, genome: Genome, sam_header: bytes,
         sink = _GzipSink(path, threads=compression_threads)
         return RecordOutput(sink, sam_header, sorted_output), False
     return RecordOutput(_PlainSink(path), sam_header, sorted_output), False
+
+
+def make_output_and_builder(path: str, genome: Genome, *, sorted_output: bool,
+                            use_m: bool, read_group: str | None,
+                            command_line: str):
+    """One-stop output setup: header + format dispatch + record builder.
+
+    Returns (RecordOutput, SamRecordBuilder-or-BamRecordBuilder).
+    """
+    from .bam import BamRecordBuilder
+    from .sam import SamRecordBuilder, make_header
+    header = make_header(genome, sorted_output=sorted_output,
+                         command_line=command_line)
+    writer, is_bam = open_output(path, genome, header,
+                                 sorted_output=sorted_output)
+    cls = BamRecordBuilder if is_bam else SamRecordBuilder
+    return writer, cls(genome, use_m=use_m, read_group=read_group)

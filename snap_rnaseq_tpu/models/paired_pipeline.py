@@ -13,9 +13,10 @@ from dataclasses import dataclass
 
 from ..constants import DEFAULT_MIN_READ_LENGTH
 from ..index.hash_index import GenomeIndex
-from ..io import fastq as fq
+from ..io.readers import open_paired_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
-from ..io.sam import NOT_FOUND, SamRecordBuilder, make_header
+from ..io.sam import NOT_FOUND
+from ..io.writers import make_output_and_builder
 from ..utils.stats import AlignerStats
 from ..utils.wgsim import wgsim_misaligned
 from .paired import PairedAligner, PairedAlignerConfig
@@ -51,12 +52,11 @@ class PairedEndPipeline:
         opt = self.opt
         stats = self.stats
         maxk = self.aligner.cfg.max_k
-        with open(out_path, "wb") as out:
-            out.write(make_header(self.index.genome,
-                                  sorted_output=opt.sorted_output,
-                                  command_line=command_line))
-            builder = SamRecordBuilder(self.index.genome, use_m=opt.use_m,
-                                       read_group=opt.read_group)
+        out, builder = make_output_and_builder(
+            out_path, self.index.genome, sorted_output=opt.sorted_output,
+            use_m=opt.use_m, read_group=opt.read_group,
+            command_line=command_line)
+        try:
             buckets = defaultdict(list)
             t0 = time.time()
 
@@ -102,7 +102,7 @@ class PairedEndPipeline:
                               bool(res["pair_found"][i]))
                 builder.flush(out)
 
-            for r0, r1 in fq.read_paired_fastq(fq0, fq1):
+            for r0, r1 in open_paired_read_supplier(fq0, fq1):
                 stats.total_reads += 2
                 clip_read(r0, opt.clipping)
                 clip_read(r1, opt.clipping)
@@ -131,4 +131,6 @@ class PairedEndPipeline:
                 flush_bucket(L)
             builder.flush(out)
             stats.align_time = time.time() - t0
+        finally:
+            out.close()
         return stats

@@ -20,9 +20,10 @@ import numpy as np
 
 from ..constants import DEFAULT_MIN_READ_LENGTH
 from ..index.hash_index import GenomeIndex
-from ..io import fastq as fq
+from ..io.readers import open_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
-from ..io.sam import NOT_FOUND, SamRecordBuilder, make_header
+from ..io.sam import NOT_FOUND
+from ..io.writers import make_output_and_builder
 from ..utils.stats import AlignerStats
 from ..utils.wgsim import wgsim_misaligned
 from .single import SingleAligner, SingleAlignerConfig
@@ -54,11 +55,11 @@ class SingleEndPipeline:
         opt = self.opt
         stats = self.stats
         maxk = self.aligner.cfg.max_k
-        with open(out_path, "wb") as out:
-            out.write(make_header(self.index.genome, sorted_output=opt.sorted_output,
-                                  command_line=command_line))
-            builder = SamRecordBuilder(self.index.genome, use_m=opt.use_m,
-                                       read_group=opt.read_group)
+        out, builder = make_output_and_builder(
+            out_path, self.index.genome, sorted_output=opt.sorted_output,
+            use_m=opt.use_m, read_group=opt.read_group,
+            command_line=command_line)
+        try:
             buckets: dict[int, list] = defaultdict(list)
             t0 = time.time()
 
@@ -93,7 +94,7 @@ class SingleEndPipeline:
                                 direction, mapq)
                 builder.flush(out)
 
-            for read in fq.read_fastq(fastq_path):
+            for read in open_read_supplier(fastq_path):
                 stats.total_reads += 1
                 clip_read(read, opt.clipping)
                 if (read.data_length < opt.min_read_length
@@ -111,4 +112,6 @@ class SingleEndPipeline:
                 flush_bucket(L)
             builder.flush(out)
             stats.align_time = time.time() - t0
+        finally:
+            out.close()
         return stats

@@ -27,9 +27,10 @@ import numpy as np
 
 from ..constants import DEFAULT_CONF_DIFF
 from ..index.hash_index import GenomeIndex
-from ..io import fastq as fq
+from ..io.readers import open_paired_read_supplier, open_read_supplier
 from ..io.reads import clip_read, count_ns, make_batch, quality_filter
-from ..io.sam import NOT_FOUND, SamRecordBuilder, make_header
+from ..io.sam import NOT_FOUND
+from ..io.writers import make_output_and_builder
 from ..models.paired import PairedAligner
 from ..models.paired_pipeline import PairedPipelineOptions
 from ..models.pipeline import PipelineOptions
@@ -113,11 +114,11 @@ class RnaSingleEndPipeline(_RnaBase):
         genome = self.genome_index.genome
         tcodes = self.transcriptome_index.genome.codes
         prefix = _output_prefix(out_path)
-        with open(out_path, "wb") as out:
-            out.write(make_header(genome, sorted_output=opt.sorted_output,
-                                  command_line=command_line))
-            builder = SamRecordBuilder(genome, use_m=opt.use_m,
-                                       read_group=opt.read_group)
+        out, builder = make_output_and_builder(
+            out_path, genome, sorted_output=opt.sorted_output,
+            use_m=opt.use_m, read_group=opt.read_group,
+            command_line=command_line)
+        try:
             buckets = defaultdict(list)
             t0 = time.time()
 
@@ -168,7 +169,7 @@ class RnaSingleEndPipeline(_RnaBase):
                         stats.record_mapq(res.mapq, False)
                 builder.flush(out)
 
-            for read in fq.read_fastq(fastq_path):
+            for read in open_read_supplier(fastq_path):
                 stats.total_reads += 1
                 clip_read(read, opt.clipping)
                 if (read.data_length < opt.min_read_length
@@ -184,6 +185,8 @@ class RnaSingleEndPipeline(_RnaBase):
                 flush_bucket(L)
             builder.flush(out)
             stats.align_time = time.time() - t0
+        finally:
+            out.close()
         self._finish_run(prefix)
         return stats
 
@@ -225,11 +228,11 @@ class RnaPairedEndPipeline(_RnaBase):
         genome = self.genome_index.genome
         tcodes = self.transcriptome_index.genome.codes
         prefix = _output_prefix(out_path)
-        with open(out_path, "wb") as out:
-            out.write(make_header(genome, sorted_output=opt.sorted_output,
-                                  command_line=command_line))
-            builder = SamRecordBuilder(genome, use_m=opt.use_m,
-                                       read_group=opt.read_group)
+        out, builder = make_output_and_builder(
+            out_path, genome, sorted_output=opt.sorted_output,
+            use_m=opt.use_m, read_group=opt.read_group,
+            command_line=command_line)
+        try:
             buckets = defaultdict(list)
             t0 = time.time()
 
@@ -321,7 +324,7 @@ class RnaPairedEndPipeline(_RnaBase):
                         stats.aligned_as_pairs += 2
                 builder.flush(out)
 
-            for r0, r1 in fq.read_paired_fastq(fq0, fq1):
+            for r0, r1 in open_paired_read_supplier(fq0, fq1):
                 stats.total_reads += 2
                 clip_read(r0, opt.clipping)
                 clip_read(r1, opt.clipping)
@@ -346,5 +349,7 @@ class RnaPairedEndPipeline(_RnaBase):
                 flush_bucket(L)
             builder.flush(out)
             stats.align_time = time.time() - t0
+        finally:
+            out.close()
         self._finish_run(prefix)
         return stats
