@@ -5,19 +5,41 @@ binary, four subcommands —
 
   index         <ref.fa> <index-dir> [-s seedLen] [-lf loadFactor]
   transcriptome <annotation.gtf> <ref.fa> <index-dir> [-s seedLen]
-  single        <genome-dir> [<transcriptome-dir> <annotation>] <input.fq[.gz]> -o out.sam [...]
-  paired        <genome-dir> [<transcriptome-dir> <annotation>] <r1.fq> <r2.fq> -o out.sam [...]
+  single        <genome-dir> [<transcriptome-dir> <annotation>] <input> -o out
+  paired        <genome-dir> [<transcriptome-dir> <annotation>] <r1> <r2> -o out
 
-Flag names follow the reference where they exist (-d maxDist, -n seeds,
--h maxHits, -e wgsim error oracle, -C clipping, -M useM, -rg read group).
+Inputs may be FASTQ(.gz), SAM, or BAM; outputs .sam, .sam.gz, or .bam.
+Flag names follow the reference (AlignerOptions.cpp:94-165): -d maxDist,
+-n seeds, -sc seed coverage, -h maxHits, -c confDiff, -e wgsim oracle,
+-x explore popular seeds, -f stop-on-first, -F a/s/u output filter,
+-so sorted output, -C clipping, -M useM, -D extra depth, -rg read group,
+-fm/-fp/-fo quality filter, -E misalign threshold, -ct contamination dir,
+-pf perf file.  -d and -h accept `n1:s:n2` ranges (Range.h:29-56) which run
+one alignment iteration per value, and multiple runs can be chained in one
+invocation with a `,` argument (Main.cpp:63-80) — loaded indices are cached
+across runs (AlignerContext.cpp:42-47).
+
 Unlike the reference, the transcriptome-dir/annotation pair is optional:
 genome-only alignment is a first-class mode here.
 """
 from __future__ import annotations
 
 import argparse
+import itertools
 import sys
 import time
+
+# index caching across chained runs (AlignerContext.cpp:42-47)
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _load_index_cached(directory: str):
+    from .index.hash_index import GenomeIndex
+    idx = _INDEX_CACHE.get(directory)
+    if idx is None:
+        idx = GenomeIndex.load(directory)
+        _INDEX_CACHE[directory] = idx
+    return idx
 
 
 def _add_align_flags(p: argparse.ArgumentParser, paired: bool):
@@ -27,32 +49,76 @@ def _add_align_flags(p: argparse.ArgumentParser, paired: bool):
                    help="output path (.sam, .sam.gz, or .bam)")
     p.add_argument("-so", dest="sorted_output", action="store_true",
                    help="sort output by alignment location")
-    p.add_argument("-d", dest="max_dist", type=int, default=d["max_dist"],
-                   help="maximum edit distance")
+    p.add_argument("-d", dest="max_dist", default=str(d["max_dist"]),
+                   help="maximum edit distance (or range n1:s:n2)")
     p.add_argument("-n", dest="num_seeds", type=int, default=d["num_seeds"],
                    help="number of seeds to apply per read")
-    p.add_argument("-h", dest="max_hits", type=int, default=d["max_hits"],
-                   help="maximum hits per seed before it is skipped")
+    p.add_argument("-sc", dest="seed_coverage", type=float, default=0.0,
+                   help="seed coverage readLen/seedLen (exclusive with -n)")
+    p.add_argument("-h", dest="max_hits", default=str(d["max_hits"]),
+                   help="maximum hits per seed before it is skipped "
+                        "(or range n1:s:n2)")
+    p.add_argument("-c", dest="conf_diff", type=int, default=2,
+                   help="confidence threshold")
     p.add_argument("-e", dest="compute_error", action="store_true",
                    help="compute error rate assuming wgsim-generated reads")
+    p.add_argument("-x", dest="explore_popular", action="store_true",
+                   help="explore some hits of overly popular seeds")
+    p.add_argument("-f", dest="stop_on_first", action="store_true",
+                   help="stop on first match within edit distance "
+                        "(filtering mode)")
+    p.add_argument("-F", dest="pass_filter", choices=["a", "s", "u"],
+                   default="", help="filter output (a=aligned, s=single, "
+                                    "u=unaligned)")
     p.add_argument("-D", dest="extra_search_depth", type=int, default=2)
+    p.add_argument("-E", dest="misalign_threshold", type=int, default=15,
+                   help="min distance from true location to count as error")
     p.add_argument("-M", dest="use_m", action="store_true",
                    help="use M in CIGAR instead of =/X")
     p.add_argument("-C", dest="clipping", default="++",
-                   help="clipping: ++ front+back, x+ back only, +x front only, xx none")
+                   help="clipping: ++ front+back, x+ back only, +x front "
+                        "only, xx none")
     p.add_argument("-rg", dest="read_group", default="FASTQ")
+    p.add_argument("-fm", dest="min_phred", type=int, default=20)
+    p.add_argument("-fp", dest="min_percent", type=float, default=90.0)
+    p.add_argument("-fo", dest="phred_offset", type=int, default=33)
+    p.add_argument("-ct", dest="contamination_dir", default=None,
+                   help="contamination database directory")
+    p.add_argument("-pf", dest="perf_file", default=None,
+                   help="append a run-speed TSV row to this file")
+    p.add_argument("-sm", dest="sort_memory_gb", type=float, default=0.0,
+                   help="accepted for compatibility; sorting here streams "
+                        "through a fixed-size spill buffer")
     p.add_argument("-b", dest="batch_size", type=int, default=256)
     p.add_argument("--help", action="help")
     if paired:
         p.add_argument("-s", dest="spacing", type=int, nargs=2,
                        default=[d["min_spacing"], d["max_spacing"]],
                        help="min and max spacing for paired ends")
+        p.add_argument("-fs", dest="force_spacing", action="store_true",
+                       help="force spacing to lie between min and max")
 
 
 def _clip_mode(s: str) -> int:
     from .io.reads import CLIP_BACK, CLIP_FRONT, CLIP_FRONT_AND_BACK, NO_CLIPPING
     return {"++": CLIP_FRONT_AND_BACK, "x+": CLIP_BACK,
             "+x": CLIP_FRONT, "xx": NO_CLIPPING}.get(s, CLIP_FRONT_AND_BACK)
+
+
+def _append_perf(path, label, stats):
+    if not path:
+        return
+    with open(path, "a") as f:
+        f.write(f"{label}\t{stats.total_reads}\t{stats.useful_reads}\t"
+                f"{stats.align_time:.3f}\t{stats.reads_per_second:.0f}\n")
+
+
+def _sweep(a):
+    """(max_dist, max_hits) iteration grid (AlignerContext.cpp:357-369)."""
+    from .utils.range_param import Range
+    dist = Range.parse(a.max_dist)
+    hits = Range.parse(a.max_hits)
+    return list(itertools.product(hits.values(), dist.values()))
 
 
 def cmd_index(argv):
@@ -103,7 +169,6 @@ def cmd_transcriptome(argv):
 def _positional_split(args):
     """Split positionals from flags (reference-style fixed positionals)."""
     pos, rest = [], []
-    it = iter(range(len(args)))
     i = 0
     while i < len(args):
         if args[i].startswith("-"):
@@ -120,7 +185,6 @@ def cmd_single(argv):
     _add_align_flags(p, paired=False)
     a = p.parse_args(flags)
 
-    from .index.hash_index import GenomeIndex
     from .models.pipeline import PipelineOptions, SingleEndPipeline
 
     if len(pos) == 2:
@@ -130,30 +194,41 @@ def cmd_single(argv):
         genome_dir, transcriptome_dir, annotation, fastq = pos
     else:
         print("usage: snap-rna-tpu single <genome-dir> "
-              "[<transcriptome-dir> <annotation>] <input.fq[.gz]> -o out.sam",
+              "[<transcriptome-dir> <annotation>] <input> -o out.sam",
               file=sys.stderr)
         return 2
 
-    index = GenomeIndex.load(genome_dir)
     opt = PipelineOptions(batch_size=a.batch_size, use_m=a.use_m,
                           read_group=a.read_group, clipping=_clip_mode(a.clipping),
                           compute_error=a.compute_error,
-                          sorted_output=a.sorted_output)
+                          sorted_output=a.sorted_output,
+                          pass_filter=a.pass_filter,
+                          misalign_threshold=a.misalign_threshold,
+                          min_phred=a.min_phred,
+                          min_percent_above_phred=a.min_percent,
+                          phred_offset=a.phred_offset)
     cmdline = "snap-rna-tpu single " + " ".join(pos + flags)
-    if transcriptome_dir is None:
-        pipe = SingleEndPipeline(index, options=opt, max_k=a.max_dist,
-                                 num_seeds=a.num_seeds, max_hits=a.max_hits,
-                                 extra_search_depth=a.extra_search_depth)
-        stats = pipe.run(fastq, a.output, command_line=cmdline)
-    else:
-        from .rna.pipeline import RnaSingleEndPipeline
-        pipe = RnaSingleEndPipeline(genome_dir, transcriptome_dir, annotation,
-                                    options=opt, max_k=a.max_dist,
-                                    num_seeds=a.num_seeds, max_hits=a.max_hits)
-        stats = pipe.run(fastq, a.output, command_line=cmdline)
-    print(stats.summary())
-    if a.compute_error:
-        print(stats.roc_table())
+    aligner_kw = dict(num_seeds=a.num_seeds, seed_coverage=a.seed_coverage,
+                      extra_search_depth=a.extra_search_depth,
+                      explore_popular=a.explore_popular,
+                      stop_on_first=a.stop_on_first)
+    for max_hits, max_dist in _sweep(a):
+        if transcriptome_dir is None:
+            pipe = SingleEndPipeline(_load_index_cached(genome_dir),
+                                     options=opt, max_k=max_dist,
+                                     max_hits=max_hits, **aligner_kw)
+            stats = pipe.run(fastq, a.output, command_line=cmdline)
+        else:
+            from .rna.pipeline import RnaSingleEndPipeline
+            pipe = RnaSingleEndPipeline(
+                genome_dir, transcriptome_dir, annotation, options=opt,
+                contamination_dir=a.contamination_dir, conf_diff=a.conf_diff,
+                max_k=max_dist, max_hits=max_hits, **aligner_kw)
+            stats = pipe.run(fastq, a.output, command_line=cmdline)
+        print(stats.summary())
+        if a.compute_error:
+            print(stats.roc_table())
+        _append_perf(a.perf_file, f"single d={max_dist} h={max_hits}", stats)
     return 0
 
 
@@ -163,7 +238,6 @@ def cmd_paired(argv):
     _add_align_flags(p, paired=True)
     a = p.parse_args(flags)
 
-    from .index.hash_index import GenomeIndex
     from .models.paired_pipeline import PairedEndPipeline, PairedPipelineOptions
 
     if len(pos) == 3:
@@ -171,31 +245,60 @@ def cmd_paired(argv):
         transcriptome_dir = annotation = None
     elif len(pos) == 5:
         genome_dir, transcriptome_dir, annotation, fq1, fq2 = pos
+    elif len(pos) == 2 and pos[1].lower().endswith((".sam", ".bam")):
+        genome_dir, fq1 = pos
+        fq2 = None
+        transcriptome_dir = annotation = None
     else:
         print("usage: snap-rna-tpu paired <genome-dir> "
-              "[<transcriptome-dir> <annotation>] <r1.fq> <r2.fq> -o out.sam",
+              "[<transcriptome-dir> <annotation>] <r1> <r2> -o out.sam",
               file=sys.stderr)
         return 2
 
-    index = GenomeIndex.load(genome_dir)
     opt = PairedPipelineOptions(
         batch_size=a.batch_size, use_m=a.use_m, read_group=a.read_group,
         clipping=_clip_mode(a.clipping), compute_error=a.compute_error,
         min_spacing=a.spacing[0], max_spacing=a.spacing[1],
-        sorted_output=a.sorted_output)
+        sorted_output=a.sorted_output, pass_filter=a.pass_filter,
+        misalign_threshold=a.misalign_threshold, min_phred=a.min_phred,
+        min_percent_above_phred=a.min_percent, phred_offset=a.phred_offset)
     cmdline = "snap-rna-tpu paired " + " ".join(pos + flags)
-    if transcriptome_dir is None:
-        pipe = PairedEndPipeline(index, options=opt, max_k=a.max_dist,
-                                 num_seeds=a.num_seeds, max_hits=a.max_hits)
-        stats = pipe.run(fq1, fq2, a.output, command_line=cmdline)
-    else:
-        from .rna.pipeline import RnaPairedEndPipeline
-        pipe = RnaPairedEndPipeline(genome_dir, transcriptome_dir, annotation,
-                                    options=opt, max_k=a.max_dist,
-                                    num_seeds=a.num_seeds, max_hits=a.max_hits)
-        stats = pipe.run(fq1, fq2, a.output, command_line=cmdline)
-    print(stats.summary())
+    for max_hits, max_dist in _sweep(a):
+        if transcriptome_dir is None:
+            pipe = PairedEndPipeline(_load_index_cached(genome_dir),
+                                     options=opt, max_k=max_dist,
+                                     max_hits=max_hits,
+                                     num_seeds=a.num_seeds,
+                                     extra_search_depth=a.extra_search_depth,
+                                     force_spacing=a.force_spacing)
+            stats = pipe.run(fq1, fq2, a.output, command_line=cmdline)
+        else:
+            from .rna.pipeline import RnaPairedEndPipeline
+            pipe = RnaPairedEndPipeline(
+                genome_dir, transcriptome_dir, annotation, options=opt,
+                contamination_dir=a.contamination_dir, conf_diff=a.conf_diff,
+                force_spacing=a.force_spacing, max_k=max_dist,
+                max_hits=max_hits, num_seeds=a.num_seeds,
+                extra_search_depth=a.extra_search_depth)
+            stats = pipe.run(fq1, fq2, a.output, command_line=cmdline)
+        print(stats.summary())
+        if a.compute_error:
+            print(stats.roc_table())
+        _append_perf(a.perf_file, f"paired d={max_dist} h={max_hits}", stats)
     return 0
+
+
+def _split_runs(argv):
+    """Comma-chained runs: `single idx a.fq -o a.sam , paired idx ...`."""
+    runs, cur = [], []
+    for tok in argv:
+        if tok == ",":
+            runs.append(cur)
+            cur = []
+        else:
+            cur.append(tok)
+    runs.append(cur)
+    return runs
 
 
 def main(argv=None):
@@ -206,14 +309,20 @@ def main(argv=None):
         print("usage: snap-rna-tpu {index|transcriptome|single|paired} ...",
               file=sys.stderr)
         return 2
-    cmd, rest = argv[0], argv[1:]
-    try:
-        handler = {"index": cmd_index, "transcriptome": cmd_transcriptome,
-                   "single": cmd_single, "paired": cmd_paired}[cmd]
-    except KeyError:
-        print(f"unknown subcommand {cmd!r}", file=sys.stderr)
-        return 2
-    return handler(rest)
+    for run in _split_runs(argv):
+        if not run:
+            continue
+        cmd, rest = run[0], run[1:]
+        try:
+            handler = {"index": cmd_index, "transcriptome": cmd_transcriptome,
+                       "single": cmd_single, "paired": cmd_paired}[cmd]
+        except KeyError:
+            print(f"unknown subcommand {cmd!r}", file=sys.stderr)
+            return 2
+        rc = handler(rest)
+        if rc:
+            return rc
+    return 0
 
 
 if __name__ == "__main__":

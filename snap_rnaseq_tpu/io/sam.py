@@ -41,6 +41,20 @@ FLAG_LAST_SEGMENT = 0x80
 NOT_FOUND, SINGLE_HIT, MULTIPLE_HITS = 0, 1, 2
 
 
+def passes_filter(result: int, mode: str) -> bool:
+    """-F output filter (AlignerOptions passFilter): a=aligned only,
+    s=single hit only, u=unaligned only; '' = everything."""
+    if not mode:
+        return True
+    if mode == "a":
+        return result != NOT_FOUND
+    if mode == "s":
+        return result == SINGLE_HIT
+    if mode == "u":
+        return result == NOT_FOUND
+    return True
+
+
 def make_header(genome: Genome, sorted_output: bool = False,
                 rg_line: str | None = None, command_line: str = "snap-rna-tpu",
                 version: str = "0.1") -> bytes:

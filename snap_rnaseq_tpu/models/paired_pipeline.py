@@ -15,7 +15,7 @@ from ..constants import DEFAULT_MIN_READ_LENGTH
 from ..index.hash_index import GenomeIndex
 from ..io.readers import open_paired_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
-from ..io.sam import NOT_FOUND
+from ..io.sam import NOT_FOUND, passes_filter
 from ..io.writers import make_output_and_builder
 from ..utils.stats import AlignerStats
 from ..utils.wgsim import wgsim_misaligned
@@ -30,10 +30,18 @@ class PairedPipelineOptions:
     clipping: int = CLIP_FRONT_AND_BACK
     min_read_length: int = DEFAULT_MIN_READ_LENGTH
     compute_error: bool = False
-    misalign_threshold: int = 15
+    misalign_threshold: int = 15         # -E
     min_spacing: int = 50
     max_spacing: int = 1000
-    sorted_output: bool = False
+    sorted_output: bool = False          # -so
+    pass_filter: str = ""                # -F
+    min_phred: int = 20                  # -fm
+    min_percent_above_phred: float = 90.0  # -fp
+    phred_offset: int = 33               # -fo
+
+    def quality_ok(self, read) -> bool:
+        return quality_filter(read, self.min_percent_above_phred,
+                              self.min_phred, self.phred_offset)
 
 
 class PairedEndPipeline:
@@ -62,14 +70,18 @@ class PairedEndPipeline:
 
             def emit_pair(r0, r1, res0, loc0, dir0, mq0, res1, loc1, dir1, mq1,
                           paired):
+                emit = passes_filter(res0, opt.pass_filter) or \
+                    passes_filter(res1, opt.pass_filter)
                 for r, res, loc, d, mq, mate_read, mres, mloc, mdir, first in (
                         (r0, res0, loc0, dir0, mq0, r1, res1, loc1, dir1, True),
                         (r1, res1, loc1, dir1, mq1, r0, res0, loc0, dir0, False)):
-                    builder.add(r, res, loc if res != NOT_FOUND else -1, d, mq,
-                                mate=dict(result=mres,
-                                          location=mloc if mres != NOT_FOUND else -1,
-                                          direction=mdir, read=mate_read,
-                                          first=first))
+                    if emit:
+                        builder.add(r, res, loc if res != NOT_FOUND else -1,
+                                    d, mq,
+                                    mate=dict(result=mres,
+                                              location=mloc if mres != NOT_FOUND else -1,
+                                              direction=mdir, read=mate_read,
+                                              first=first))
                     if res == 1:
                         stats.single_hits += 1
                     elif res == 2:
@@ -107,16 +119,17 @@ class PairedEndPipeline:
                 clip_read(r0, opt.clipping)
                 clip_read(r1, opt.clipping)
                 bad = any(r.data_length < opt.min_read_length
-                          or count_ns(r) > maxk or not quality_filter(r)
+                          or count_ns(r) > maxk or not opt.quality_ok(r)
                           for r in (r0, r1))
                 if bad:
                     stats.not_found += 2
-                    builder.add(r0, NOT_FOUND, -1, 0, 0,
-                                mate=dict(result=NOT_FOUND, location=-1,
-                                          direction=0, read=r1, first=True))
-                    builder.add(r1, NOT_FOUND, -1, 0, 0,
-                                mate=dict(result=NOT_FOUND, location=-1,
-                                          direction=0, read=r0, first=False))
+                    if passes_filter(NOT_FOUND, opt.pass_filter):
+                        builder.add(r0, NOT_FOUND, -1, 0, 0,
+                                    mate=dict(result=NOT_FOUND, location=-1,
+                                              direction=0, read=r1, first=True))
+                        builder.add(r1, NOT_FOUND, -1, 0, 0,
+                                    mate=dict(result=NOT_FOUND, location=-1,
+                                              direction=0, read=r0, first=False))
                     continue
                 stats.useful_reads += 2
                 if r0.data_length != r1.data_length:

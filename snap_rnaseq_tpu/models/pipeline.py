@@ -22,7 +22,7 @@ from ..constants import DEFAULT_MIN_READ_LENGTH
 from ..index.hash_index import GenomeIndex
 from ..io.readers import open_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
-from ..io.sam import NOT_FOUND
+from ..io.sam import NOT_FOUND, passes_filter
 from ..io.writers import make_output_and_builder
 from ..utils.stats import AlignerStats
 from ..utils.wgsim import wgsim_misaligned
@@ -37,8 +37,16 @@ class PipelineOptions:
     clipping: int = CLIP_FRONT_AND_BACK
     min_read_length: int = DEFAULT_MIN_READ_LENGTH
     compute_error: bool = False          # -e: wgsim accuracy oracle
-    misalign_threshold: int = 15
-    sorted_output: bool = False
+    misalign_threshold: int = 15         # -E
+    sorted_output: bool = False          # -so
+    pass_filter: str = ""                # -F: a/s/u output filter
+    min_phred: int = 20                  # -fm
+    min_percent_above_phred: float = 90.0  # -fp
+    phred_offset: int = 33               # -fo
+
+    def quality_ok(self, read) -> bool:
+        return quality_filter(read, self.min_percent_above_phred,
+                              self.min_phred, self.phred_offset)
 
 
 class SingleEndPipeline:
@@ -90,8 +98,10 @@ class SingleEndPipeline:
                         stats.not_found += 1
                     if result != NOT_FOUND:
                         stats.record_mapq(mapq, was_error)
-                    builder.add(r, result, loc if result != NOT_FOUND else -1,
-                                direction, mapq)
+                    if passes_filter(result, opt.pass_filter):
+                        builder.add(r, result,
+                                    loc if result != NOT_FOUND else -1,
+                                    direction, mapq)
                 builder.flush(out)
 
             for read in open_read_supplier(fastq_path):
@@ -99,9 +109,10 @@ class SingleEndPipeline:
                 clip_read(read, opt.clipping)
                 if (read.data_length < opt.min_read_length
                         or count_ns(read) > maxk
-                        or not quality_filter(read)):
+                        or not opt.quality_ok(read)):
                     stats.not_found += 1
-                    builder.add(read, NOT_FOUND, -1, 0, 0)
+                    if passes_filter(NOT_FOUND, opt.pass_filter):
+                        builder.add(read, NOT_FOUND, -1, 0, 0)
                     continue
                 stats.useful_reads += 1
                 L = read.data_length

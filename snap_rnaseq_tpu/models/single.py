@@ -65,10 +65,22 @@ class SingleAlignerConfig:
     cand_per_read: int = 128                            # static candidate slots
     max_seed_slots: int = 48                            # schedule positions looked up
     max_hits_to_get: int = 0                            # multi-hit output size
+    seed_coverage: float = 0.0      # -sc: num_seeds = cov*readLen/seedLen
+    explore_popular: bool = False   # -x: use (capped) hits of popular seeds
+    stop_on_first: bool = False     # -f: filtering mode, any hit -> SingleHit
 
     @property
     def e_max(self) -> int:
         return min(MAX_K, self.max_k + self.extra_search_depth)
+
+    def resolve_for_read_len(self, read_len: int) -> "SingleAlignerConfig":
+        """-sc: seed budget proportional to read length
+        (BaseAligner.cpp maxSeedCoverage path)."""
+        if self.seed_coverage <= 0:
+            return self
+        n = max(1, int(self.seed_coverage * read_len / self.seed_len))
+        return SingleAlignerConfig(**{**self.__dict__,
+                                      "num_seeds": n, "seed_coverage": 0.0})
 
 
 def _segment_ids(boundary: jnp.ndarray) -> jnp.ndarray:
@@ -106,7 +118,12 @@ def budget_phase(valid, counts_global, wraps, cfg: SingleAlignerConfig):
     """
     B, S = valid.shape
     popular = (counts_global > cfg.max_hits) & valid[:, :, None]
-    applied = valid[:, :, None] & ~popular                  # (B,S,2)
+    if cfg.explore_popular:
+        # -x: popular seeds still contribute (their hits capped in
+        # expand_phase), matching explorePopularSeeds (BaseAligner.cpp:794-800)
+        applied = valid[:, :, None] & (counts_global > 0)
+    else:
+        applied = valid[:, :, None] & ~popular              # (B,S,2)
     applied_per_pos = applied.sum(axis=2)
     cum_before = jnp.cumsum(applied_per_pos, axis=1) - applied_per_pos
     active_pos = cum_before < cfg.num_seeds
@@ -131,6 +148,8 @@ def expand_phase(seeds, budget, schedule, overflow, cfg, seed_len, read_len,
 
     used = jnp.where(budget["applied_act"] & seeds["found"][:, :, None],
                      counts, 0)
+    if cfg.explore_popular:
+        used = jnp.minimum(used, cfg.max_hits)
     used2 = used.reshape(B, S * 2)
     cum = jnp.cumsum(used2, axis=1)
     total = cum[:, -1]
@@ -354,10 +373,16 @@ def replay_phase(u, sc, budget, reads, B, S, cfg: SingleAlignerConfig):
 
     applied_any = budget["applied_act"].any(axis=(1, 2))
     aligned = has_best & (best_score <= maxK)
-    result = jnp.where(
-        aligned,
-        jnp.where(mapq >= MAPQ_LIMIT_FOR_SINGLE_HIT, SINGLE_HIT, MULTIPLE_HITS),
-        jnp.where(applied_any, NOT_FOUND, MULTIPLE_HITS))
+    if cfg.stop_on_first:
+        # -f filtering mode: any in-budget hit counts as a SingleHit
+        # (BaseAligner.cpp:1373-1381)
+        result = jnp.where(aligned, SINGLE_HIT,
+                           jnp.where(applied_any, NOT_FOUND, MULTIPLE_HITS))
+    else:
+        result = jnp.where(
+            aligned,
+            jnp.where(mapq >= MAPQ_LIMIT_FOR_SINGLE_HIT, SINGLE_HIT, MULTIPLE_HITS),
+            jnp.where(applied_any, NOT_FOUND, MULTIPLE_HITS))
     result = jnp.where(n_count > maxK, NOT_FOUND, result)
     ok = aligned & (n_count <= maxK)
     out = dict(result=result,
@@ -482,7 +507,8 @@ class SingleAligner:
             self._dev["overflow"], self._dev["genome_codes"],
             self._dev["piece_starts"],
             jnp.asarray(positions), jnp.asarray(wraps),
-            cfg=self.cfg, seed_len=self.index.seed_len, read_len=L,
+            cfg=self.cfg.resolve_for_read_len(L),
+            seed_len=self.index.seed_len, read_len=L,
             genome_size=self.genome_size)
 
     def align_batch(self, reads: np.ndarray, quals: np.ndarray) -> dict:

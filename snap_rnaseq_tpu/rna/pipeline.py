@@ -29,7 +29,7 @@ from ..constants import DEFAULT_CONF_DIFF
 from ..index.hash_index import GenomeIndex
 from ..io.readers import open_paired_read_supplier, open_read_supplier
 from ..io.reads import clip_read, count_ns, make_batch, quality_filter
-from ..io.sam import NOT_FOUND
+from ..io.sam import NOT_FOUND, passes_filter
 from ..io.writers import make_output_and_builder
 from ..models.paired import PairedAligner
 from ..models.paired_pipeline import PairedPipelineOptions
@@ -155,10 +155,11 @@ class RnaSingleEndPipeline(_RnaBase):
                     if res.status != NOT_FOUND and res.is_transcriptome:
                         splice = self._make_splice_rewriter(res.tlocation)
                         tsrc = (tcodes, res.tlocation)
-                    builder.add(r, res.status,
-                                res.location if res.status != NOT_FOUND else -1,
-                                res.direction, res.mapq,
-                                splice_rewriter=splice, tsource=tsrc)
+                    if passes_filter(res.status, opt.pass_filter):
+                        builder.add(r, res.status,
+                                    res.location if res.status != NOT_FOUND else -1,
+                                    res.direction, res.mapq,
+                                    splice_rewriter=splice, tsource=tsrc)
                     if res.status == SINGLE_HIT:
                         stats.single_hits += 1
                     elif res.status == MULTIPLE_HITS:
@@ -173,9 +174,10 @@ class RnaSingleEndPipeline(_RnaBase):
                 stats.total_reads += 1
                 clip_read(read, opt.clipping)
                 if (read.data_length < opt.min_read_length
-                        or count_ns(read) > maxk or not quality_filter(read)):
+                        or count_ns(read) > maxk or not opt.quality_ok(read)):
                     stats.not_found += 1
-                    builder.add(read, NOT_FOUND, -1, 0, 0)
+                    if passes_filter(NOT_FOUND, opt.pass_filter):
+                        builder.add(read, NOT_FOUND, -1, 0, 0)
                     continue
                 stats.useful_reads += 1
                 buckets[read.data_length].append(read)
@@ -296,22 +298,25 @@ class RnaPairedEndPipeline(_RnaBase):
                         if e1.mapq < 50:
                             e1.mapq //= 2
 
+                    emit = passes_filter(e0.status, opt.pass_filter) or \
+                        passes_filter(e1.status, opt.pass_filter)
                     for r, e, m, first in ((r0, e0, e1, True),
                                            (r1, e1, e0, False)):
                         splice = tsrc = None
                         if e.status != NOT_FOUND and e.is_transcriptome:
                             splice = self._make_splice_rewriter(e.tlocation)
                             tsrc = (tcodes, e.tlocation)
-                        builder.add(
-                            r, e.status,
-                            e.location if e.status != NOT_FOUND else -1,
-                            e.direction, e.mapq,
-                            mate=dict(result=m.status,
-                                      location=m.location if m.status != NOT_FOUND else -1,
-                                      direction=m.direction,
-                                      read=r1 if first else r0,
-                                      first=first),
-                            splice_rewriter=splice, tsource=tsrc)
+                        if emit:
+                            builder.add(
+                                r, e.status,
+                                e.location if e.status != NOT_FOUND else -1,
+                                e.direction, e.mapq,
+                                mate=dict(result=m.status,
+                                          location=m.location if m.status != NOT_FOUND else -1,
+                                          direction=m.direction,
+                                          read=r1 if first else r0,
+                                          first=first),
+                                splice_rewriter=splice, tsource=tsrc)
                         if e.status == SINGLE_HIT:
                             stats.single_hits += 1
                         elif e.status == MULTIPLE_HITS:
@@ -329,16 +334,17 @@ class RnaPairedEndPipeline(_RnaBase):
                 clip_read(r0, opt.clipping)
                 clip_read(r1, opt.clipping)
                 bad = any(r.data_length < opt.min_read_length
-                          or count_ns(r) > maxk or not quality_filter(r)
+                          or count_ns(r) > maxk or not opt.quality_ok(r)
                           for r in (r0, r1))
                 if bad:
                     stats.not_found += 2
-                    builder.add(r0, NOT_FOUND, -1, 0, 0,
-                                mate=dict(result=NOT_FOUND, location=-1,
-                                          direction=0, read=r1, first=True))
-                    builder.add(r1, NOT_FOUND, -1, 0, 0,
-                                mate=dict(result=NOT_FOUND, location=-1,
-                                          direction=0, read=r0, first=False))
+                    if passes_filter(NOT_FOUND, opt.pass_filter):
+                        builder.add(r0, NOT_FOUND, -1, 0, 0,
+                                    mate=dict(result=NOT_FOUND, location=-1,
+                                              direction=0, read=r1, first=True))
+                        builder.add(r1, NOT_FOUND, -1, 0, 0,
+                                    mate=dict(result=NOT_FOUND, location=-1,
+                                              direction=0, read=r0, first=False))
                     continue
                 stats.useful_reads += 2
                 L = max(r0.data_length, r1.data_length)
