@@ -96,7 +96,18 @@ def _d_order(e_max: int, cigar_order: bool) -> np.ndarray:
     return prio
 
 
-@functools.partial(jax.jit, static_argnames=("e_max", "cigar_order", "keep_tables"))
+def _lv_backend() -> str:
+    """LV DP backend: 'pallas' on TPU, 'jax' elsewhere.
+
+    Override with SNAP_TPU_LV=pallas|jax|interpret (interpret = Pallas
+    interpreter mode, for CPU parity testing)."""
+    import os
+    forced = os.environ.get("SNAP_TPU_LV", "").lower()
+    if forced in ("pallas", "jax", "interpret"):
+        return forced
+    return "pallas" if jax.default_backend() == "tpu" else "jax"
+
+
 def lv_distance(pattern: jnp.ndarray,
                 p_len: jnp.ndarray,
                 text: jnp.ndarray,
@@ -107,6 +118,100 @@ def lv_distance(pattern: jnp.ndarray,
                 e_max: int,
                 cigar_order: bool = False,
                 keep_tables: bool = False) -> LVResult:
+    backend = _lv_backend()
+    if backend != "jax":
+        return _lv_distance_pallas(pattern, p_len, text, t_len, k, quality,
+                                   e_max=e_max, cigar_order=cigar_order,
+                                   keep_tables=keep_tables,
+                                   interpret=(backend == "interpret"))
+    return _lv_distance_jax(pattern, p_len, text, t_len, k, quality,
+                            e_max=e_max, cigar_order=cigar_order,
+                            keep_tables=keep_tables)
+
+
+@functools.partial(jax.jit, static_argnames=("e_max", "cigar_order",
+                                             "keep_tables", "interpret"))
+def _lv_distance_pallas(pattern, p_len, text, t_len, k, quality=None, *,
+                        e_max: int, cigar_order: bool, keep_tables: bool,
+                        interpret: bool) -> LVResult:
+    """Pallas-core LV: DP, extension AND the probability backtrace run in
+    VMEM (ops/lv_pallas.py); only five scalars per candidate hit HBM."""
+    from .lv_pallas import lv_distance_pallas_core
+    B, P = pattern.shape
+    k = jnp.minimum(k.astype(jnp.int32), e_max)
+    # textp layout: e_max leading sentinels + masked text + trailing
+    # sentinels so every diagonal slice is in-bounds (lv_pallas docstring).
+    # int32 on purpose: Mosaic mis-lays-out u8 compares against splats.
+    textp = jnp.concatenate(
+        [jnp.full((B, e_max), 255, jnp.int32),
+         text.astype(jnp.int32),
+         jnp.full((B, e_max + P), 255, jnp.int32)], axis=1)
+    if quality is None:
+        qual_logp = jnp.full((B, P), PHRED_LOG_PROB[33 + 93], jnp.float32)
+    else:
+        qual_logp = jnp.asarray(PHRED_LOG_PROB)[quality.astype(jnp.int32)]
+    dist, e_fin, d_fin, log_prob, net_indel, L_all, A_all = \
+        lv_distance_pallas_core(
+            pattern.astype(jnp.int32), p_len.astype(jnp.int32), textp,
+            t_len.astype(jnp.int32), k, qual_logp,
+            e_max=e_max, cigar_order=cigar_order, keep_tables=keep_tables,
+            interpret=interpret)
+
+    start_run = L_all[:, 0, e_max]
+    D = 2 * e_max + 1
+    if keep_tables:
+        acts_bt, matched_bt = _recover_actions(L_all, A_all, e_fin, d_fin,
+                                               e_max)
+    else:
+        L_all = jnp.zeros((B, 0, D), jnp.int32)
+        A_all = jnp.zeros((B, 0, D), jnp.int32)
+        acts_bt = jnp.zeros((B, 0), jnp.int32)
+        matched_bt = jnp.zeros((B, 0), jnp.int32)
+    return LVResult(distance=dist, log_prob=log_prob, net_indel=net_indel,
+                    e_final=e_fin, d_final=d_fin, L=L_all, A=A_all,
+                    acts=acts_bt, matched=matched_bt, start_run=start_run)
+
+
+def _recover_actions(L_all, A_all, e_fin, d_fin, e_max):
+    """Phase-1 backtrace only (action + matched-run recovery) for the CIGAR
+    path, from materialized tables."""
+    B, _, D = L_all.shape
+    center = e_max
+
+    def gather_L(e_idx, d_idx):
+        dd = jnp.clip(d_idx + center, 0, D - 1)
+        return L_all[jnp.arange(B), e_idx, dd]
+
+    def rev_step(carry, e):
+        cur_d = carry
+        active = (e <= e_fin) & (e >= 1)
+        dd = jnp.clip(cur_d + center, 0, D - 1)
+        act = A_all[jnp.arange(B), e, dd]
+        L_here = gather_L(e, cur_d)
+        m_I = L_here - gather_L(e - 1, cur_d + 1) - 1
+        m_D = L_here - gather_L(e - 1, cur_d - 1)
+        m_X = L_here - gather_L(e - 1, cur_d) - 1
+        matched = jnp.where(act == ACT_I, m_I, jnp.where(act == ACT_D, m_D, m_X))
+        new_d = cur_d + jnp.where(act == ACT_I, 1, jnp.where(act == ACT_D, -1, 0))
+        cur_d = jnp.where(active, new_d, cur_d)
+        return cur_d, (jnp.where(active, act, -1), jnp.where(active, matched, 0))
+
+    es = jnp.arange(e_max, 0, -1, dtype=jnp.int32)
+    _, (acts_rev, matched_rev) = jax.lax.scan(rev_step, d_fin, es)
+    return jnp.flip(acts_rev, axis=0).T, jnp.flip(matched_rev, axis=0).T
+
+
+@functools.partial(jax.jit, static_argnames=("e_max", "cigar_order", "keep_tables"))
+def _lv_distance_jax(pattern: jnp.ndarray,
+                     p_len: jnp.ndarray,
+                     text: jnp.ndarray,
+                     t_len: jnp.ndarray,
+                     k: jnp.ndarray,
+                     quality: jnp.ndarray | None = None,
+                     *,
+                     e_max: int,
+                     cigar_order: bool = False,
+                     keep_tables: bool = False) -> LVResult:
     """Batched banded edit distance.
 
     pattern: (B, P) uint8 codes; p_len: (B,) int32 actual lengths

@@ -1,0 +1,320 @@
+"""Pallas TPU kernel for the batched Landau-Vishkin banded edit distance.
+
+The pure-JAX formulation (ops/lv.py) materializes the O(B * D * P)
+next-mismatch tensor plus the O(B * E * D) DP/action tables in HBM — at
+production batch sizes that is hundreds of MB of traffic per LV call and
+dominates the aligner's runtime.  This kernel keeps the whole working set of
+a candidate tile in VMEM:
+
+  grid = (num_tiles,) over the candidate axis (tile = LV_TILE rows)
+  per tile, entirely in VMEM:
+    1. shifted[d] = textp[:, d : d+P]       (D static slices — no gather)
+    2. match / mm_idx (int16); suffix-min along P via log-step shift-mins
+    3. the e-loop over (T, D) states; diagonal extension is a masked
+       max-reduction over P (one-hot of the gather index — lane-friendly)
+    4. the probability backtrace (LandauVishkin.h:356-434) fused in-kernel:
+       reverse action recovery over the VMEM-resident DP levels, then the
+       forward phred/indel walk against a precomputed per-base log-prob row
+  outputs: distance, e_final, d_final, log_prob, net_indel — five scalars
+  per candidate.  With keep_tables=True (the CIGAR path) the compact L/A
+  tables are written out too for host token emission.
+
+HBM traffic per candidate drops from ~25 KB (jax path intermediates) to
+~P*5 input bytes + 20 output bytes.
+
+Semantics are bit-identical to lv.py's _lv_distance_jax (same diagonal
+priority, perfect-match early-out, k clamping, BUGBUG quality clamp);
+tests/test_lv_pallas.py checks parity on random batches.
+
+Text layout contract (same as lv.py's internal textp): e_max leading
+sentinel (255) columns, the real text, and at least e_max + P trailing
+sentinel columns: TXT >= 2*e_max + P.  t_len counts real text bytes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lv import _d_order, LOG_GAP_EXTEND, LOG_GAP_OPEN, LOG_ONE_MINUS_SNP
+
+LV_TILE = 64           # candidates per grid step (VMEM-bounded: the 3D
+                       # (T, D, P) temporaries must fit the 16MB scoped vmem)
+
+ACT_X, ACT_D, ACT_I = 0, 1, 2
+NEG_INF = -1e30
+
+
+def _suffix_min(x, axis_len):
+    """Suffix (reverse cumulative) min along the last axis, log-step.
+
+    Shift via pltpu.roll + iota mask: slice-then-concat carries lane offsets
+    Mosaic refuses to re-concat."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    s = 1
+    while s < axis_len:
+        rolled = pltpu.roll(x, axis_len - s, x.ndim - 1)
+        shifted = jnp.where(lane >= axis_len - s, jnp.int32(32767), rolled)
+        x = jnp.minimum(x, shifted)
+        s *= 2
+    return x
+
+
+def _gather_d(X, idx, e_max):
+    """X: (T, D); idx: (T,) diagonal index (already +e_max); one-hot gather."""
+    D = X.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+    sel = iota == jnp.clip(idx, 0, D - 1)[:, None]
+    return jnp.sum(jnp.where(sel, X, 0), axis=1)
+
+
+def _lv_kernel(prio_ref, pattern_ref, p_len_ref, text_ref, t_len_ref, k_ref,
+               qlp_ref, dist_ref, e_fin_ref, d_fin_ref, logp_ref, net_ref,
+               L_out_ref, A_out_ref, nextmm_ref,
+               *, e_max: int, P: int, cigar_order: bool, keep_tables: bool):
+    D = 2 * e_max + 1
+    Tn = pattern_ref.shape[0]
+
+    pattern = pattern_ref[...]                        # (T, P) i32
+    p_len = p_len_ref[...][:, 0]                      # (T,) i32
+    t_len = t_len_ref[...][:, 0]
+    k = jnp.minimum(k_ref[...][:, 0], e_max)
+    textp = text_ref[...]                             # (T, TXT) i32
+    qual_logp = qlp_ref[...]                          # (T, P) f32
+    TXT = textp.shape[1]
+
+    tpos = jax.lax.broadcasted_iota(jnp.int32, (Tn, TXT), 1) - e_max
+    textp = jnp.where(tpos < t_len[:, None], textp, jnp.int32(255))
+
+    # Per-diagonal next-mismatch rows, computed in 2D and written through a
+    # VMEM scratch ref (Mosaic rejects stacking values whose operands carry
+    # slice/roll layout offsets; ref stores re-canonicalize them).
+    pos2 = jax.lax.broadcasted_iota(jnp.int32, (Tn, P), 1)
+    for d in range(D):
+        # left-shift by d == right-roll by TXT - d (roll wants shift >= 0)
+        tslice = pltpu.roll(textp, (TXT - d) % TXT, 1)[:, :P]
+        mm2 = jnp.where(tslice == pattern, jnp.int32(P), pos2)
+        nextmm_ref[:, d, :] = _suffix_min(mm2, P)
+    nextmm = nextmm_ref[...]                          # (T, D, P) i32
+
+    pos_i32 = jax.lax.broadcasted_iota(jnp.int32, (Tn, D, P), 2)
+    d_vals = jax.lax.broadcasted_iota(jnp.int32, (Tn, D), 1) - e_max
+    end_d = jnp.minimum(p_len[:, None], t_len[:, None] - d_vals)
+
+    def extend(best):
+        gb = jnp.clip(best, 0, P - 1)
+        onehot = pos_i32 == gb[:, :, None]
+        ext = jnp.max(jnp.where(onehot, nextmm, -16384), axis=2)
+        ext = jnp.where(best >= P, best, ext)
+        ext = jnp.minimum(ext, end_d)
+        return jnp.maximum(best, jnp.where(best >= 0, ext, best))
+
+    end0 = jnp.minimum(p_len, t_len)
+    first_mm = jnp.minimum(nextmm[:, e_max, 0], end0)
+    L = jnp.where(d_vals == 0, first_mm[:, None], jnp.int32(-2))  # (T, D)
+
+    perfect = first_mm >= end0
+    perfect_dist = jnp.maximum(p_len - end0, 0)
+    perfect_ok = perfect & (perfect_dist <= k)
+
+    done = perfect
+    dist = jnp.where(perfect_ok, perfect_dist, -1)
+    e_fin = jnp.zeros((Tn,), jnp.int32)
+    d_fin = jnp.zeros((Tn,), jnp.int32)
+
+    prio = prio_ref[...]                              # (1, D)
+    abs_d = jnp.abs(d_vals)
+
+    Ls = [L]
+    As = [jnp.zeros((Tn, D), jnp.int32)]
+    if keep_tables:
+        L_out_ref[:, 0, :] = Ls[0]
+        A_out_ref[:, 0, :] = As[0]
+    else:
+        # dummy single-level outputs still need a defined value; level 0 of
+        # L doubles as start_run for the CIGAR wrapper
+        L_out_ref[:, 0, :] = Ls[0]
+        A_out_ref[:, 0, :] = As[0]
+
+    diag_iota = jax.lax.broadcasted_iota(jnp.int32, (Tn, D), 1)
+    for e in range(1, e_max + 1):
+        up = L + 1
+        # neighbor shifts along the diagonal axis via roll + edge masks
+        left = jnp.where(diag_iota == 0, jnp.int32(-2), pltpu.roll(L, 1, 1))
+        right = jnp.where(diag_iota == D - 1, jnp.int32(-1),
+                          pltpu.roll(L, D - 1, 1) + 1)
+        best = up
+        act = jnp.full((Tn, D), ACT_X, jnp.int32)
+        better_l = left > best
+        best = jnp.where(better_l, left, best)
+        act = jnp.where(better_l, ACT_D, act)
+        better_r = right > best
+        best = jnp.where(better_r, right, best)
+        act = jnp.where(better_r, ACT_I, act)
+
+        in_band = abs_d <= e
+        best = extend(best)
+        best = jnp.where(in_band, best, -2)
+
+        hit = in_band & (best >= p_len[:, None]) & (e <= k)[:, None]
+        any_hit = hit.any(axis=1) & ~done
+        rank = jnp.where(hit, prio, jnp.int32(2 * e_max + 2))
+        # integer argmin via encode/min/decode (Mosaic argmin is f32-only)
+        iota_d = jax.lax.broadcasted_iota(jnp.int32, (Tn, D), 1)
+        win = jnp.min(rank * D + iota_d, axis=1) % D
+
+        new_done = done | any_hit | (e >= k)
+        dist = jnp.where(any_hit, e, dist)
+        e_fin = jnp.where(any_hit, e, e_fin)
+        d_fin = jnp.where(any_hit, win - e_max, d_fin)
+
+        L = jnp.where(done[:, None], L, best)
+        done = new_done
+        Ls.append(L)
+        As.append(act)
+        if keep_tables:
+            L_out_ref[:, e, :] = L
+            A_out_ref[:, e, :] = act
+
+    # ---- fused probability backtrace (lv.py _backtrace_prob) --------------
+    # phase 1: reverse over levels, recovering action + matched-run length
+    cur_d = d_fin
+    acts_bt = [None] * (e_max + 1)
+    matched_bt = [None] * (e_max + 1)
+    for e in range(e_max, 0, -1):
+        active = (e <= e_fin) & (e_fin > 0)
+        act = _gather_d(As[e], cur_d + e_max, e_max)
+        L_here = _gather_d(Ls[e], cur_d + e_max, e_max)
+        m_I = L_here - _gather_d(Ls[e - 1], cur_d + 1 + e_max, e_max) - 1
+        m_D = L_here - _gather_d(Ls[e - 1], cur_d - 1 + e_max, e_max)
+        m_X = L_here - _gather_d(Ls[e - 1], cur_d + e_max, e_max) - 1
+        matched = jnp.where(act == ACT_I, m_I,
+                            jnp.where(act == ACT_D, m_D, m_X))
+        new_d = cur_d + jnp.where(act == ACT_I, 1,
+                                  jnp.where(act == ACT_D, -1, 0))
+        cur_d = jnp.where(active, new_d, cur_d)
+        acts_bt[e] = jnp.where(active, act, -1)
+        matched_bt[e] = jnp.where(active, matched, 0)
+
+    # phase 2: forward walk accumulating log probability + net indel
+    qmax = jnp.maximum(p_len - 1, 0)
+    piota = jax.lax.broadcasted_iota(jnp.int32, (Tn, P), 1)
+    offset = _gather_d(Ls[0], jnp.full((Tn,), e_max, jnp.int32), e_max)
+    logp = jnp.zeros((Tn,), jnp.float32)
+    net = jnp.zeros((Tn,), jnp.int32)
+    prev_act = jnp.full((Tn,), -1, jnp.int32)
+    run_open = jnp.zeros((Tn,), jnp.int32)   # int32 0/1: Mosaic dislikes
+    for e in range(1, e_max + 1):            # rank-1 bool select round-trips
+        act = acts_bt[e]
+        m = matched_bt[e]
+        active = (e <= e_fin) & (e_fin > 0)
+        cont = (run_open == 1) & (act == prev_act)
+        is_indel = (act == ACT_I) | (act == ACT_D)
+        indel_log = jnp.where(cont, LOG_GAP_EXTEND, LOG_GAP_OPEN)
+        # arithmetic one-hot (avoids a Mosaic i1 relayout on (T, P) masks)
+        diff = jnp.abs(piota - jnp.clip(offset, 0, qmax)[:, None])
+        onehot_f = (1 - jnp.minimum(diff, 1)).astype(jnp.float32)
+        q_at = jnp.sum(qual_logp * onehot_f, axis=1)
+        add = jnp.where(is_indel, indel_log, q_at)
+        logp = jnp.where(active, logp + add, logp)
+        delta = jnp.where(act == ACT_I, 1, jnp.where(act == ACT_D, -1, 1))
+        offset = jnp.where(active, offset + delta, offset)
+        net = jnp.where(active & (act == ACT_I), net + 1,
+                        jnp.where(active & (act == ACT_D), net - 1, net))
+        offset = jnp.where(active, offset + m, offset)
+        run_open = jnp.where(active, (m == 0).astype(jnp.int32), run_open)
+        prev_act = jnp.where(active, act, prev_act)
+
+    logp = logp + (p_len - e_fin).astype(jnp.float32) * LOG_ONE_MINUS_SNP
+    # perfect rows: e_fin == 0 walks are inactive, so logp already equals
+    # p_len * log(1-snp); just mask failures
+    logp = jnp.where(dist >= 0, logp, NEG_INF)
+    net = jnp.where(perfect, 0, net)
+
+    dist_ref[...] = dist[:, None]
+    e_fin_ref[...] = e_fin[:, None]
+    d_fin_ref[...] = d_fin[:, None]
+    logp_ref[...] = logp[:, None]
+    net_ref[...] = net[:, None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("e_max", "cigar_order", "keep_tables",
+                                    "interpret"))
+def lv_distance_pallas_core(pattern, p_len, textp, t_len, k, qual_logp, *,
+                            e_max: int, cigar_order: bool = False,
+                            keep_tables: bool = False,
+                            interpret: bool = False):
+    """Pallas path: returns (distance, e_final, d_final, log_prob,
+    net_indel, L_all, A_all); the tables are zero-size unless keep_tables.
+
+    pattern: (B, P) u8; textp: (B, TXT) u8 in the module-docstring layout
+    (TXT >= 2*e_max + P); qual_logp: (B, P) f32 per-base log error prob.
+    """
+    B, P = pattern.shape
+    TXT = textp.shape[1]
+    assert TXT >= 2 * e_max + P, (TXT, e_max, P)
+    D = 2 * e_max + 1
+    T = LV_TILE
+    Bp = ((B + T - 1) // T) * T
+    if Bp != B:
+        pad = Bp - B
+        pattern = jnp.pad(pattern, ((0, pad), (0, 0)))
+        textp = jnp.pad(textp, ((0, pad), (0, 0)), constant_values=255)
+        p_len = jnp.pad(p_len, (0, pad))
+        t_len = jnp.pad(t_len, (0, pad))
+        k = jnp.pad(k, (0, pad))
+        qual_logp = jnp.pad(qual_logp, ((0, pad), (0, 0)))
+    grid = (Bp // T,)
+    pattern = pattern.astype(jnp.int32)
+    textp = textp.astype(jnp.int32)
+
+    prio = jnp.asarray(_d_order(e_max, cigar_order))[None, :]  # (1, D)
+    kernel = functools.partial(_lv_kernel, e_max=e_max, P=P,
+                               cigar_order=cigar_order,
+                               keep_tables=keep_tables)
+
+    tbl_e = (e_max + 1) if keep_tables else 1
+    out_shape = (
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),             # dist
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),             # e_fin
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),             # d_fin
+        jax.ShapeDtypeStruct((Bp, 1), jnp.float32),           # logp
+        jax.ShapeDtypeStruct((Bp, 1), jnp.int32),             # net
+        jax.ShapeDtypeStruct((Bp, tbl_e, D), jnp.int32),      # L
+        jax.ShapeDtypeStruct((Bp, tbl_e, D), jnp.int32),      # A
+    )
+    row = lambda: pl.BlockSpec((T, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    dist, e_fin, d_fin, logp, net, L_all, A_all = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            row(),
+            pl.BlockSpec((T, TXT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            row(),
+            row(),
+            pl.BlockSpec((T, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            row(), row(), row(), row(), row(),
+            pl.BlockSpec((T, tbl_e, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, tbl_e, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((T, D, P), jnp.int32)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(prio, pattern, p_len[:, None].astype(jnp.int32),
+      textp, t_len[:, None].astype(jnp.int32), k[:, None].astype(jnp.int32),
+      qual_logp.astype(jnp.float32))
+
+    return (dist[:B, 0], e_fin[:B, 0], d_fin[:B, 0], logp[:B, 0],
+            net[:B, 0], L_all[:B], A_all[:B])

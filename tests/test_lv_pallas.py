@@ -1,0 +1,86 @@
+"""Pallas LV kernel parity vs the pure-JAX reference path.
+
+Runs the Pallas kernel in interpreter mode (no TPU needed) on randomized
+batches including indels, short texts, N bases, and k-overflow cases, and
+requires bit-identical distance/e_final/d_final plus matching probabilities.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from snap_rnaseq_tpu.ops.lv import _lv_distance_jax, _lv_distance_pallas
+
+
+def _random_cases(rng, B, P, e_max):
+    pats = rng.integers(0, 4, (B, P), dtype=np.uint8)
+    texts = np.zeros((B, P + 2 * e_max), np.uint8)
+    p_len = np.zeros(B, np.int32)
+    t_len = np.zeros(B, np.int32)
+    for i in range(B):
+        n = int(rng.integers(P // 2, P + 1))
+        p_len[i] = n
+        # text = pattern with random edits
+        t = list(pats[i, :n])
+        for _ in range(int(rng.integers(0, e_max + 2))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, max(len(t), 1)))
+            if op == 0 and t:
+                t[pos] = (t[pos] + 1) % 4
+            elif op == 1 and t:
+                del t[pos]
+            else:
+                t.insert(pos, int(rng.integers(0, 4)))
+        t = t[:texts.shape[1]]
+        t_len[i] = len(t)
+        texts[i, :len(t)] = t
+    k = rng.integers(0, e_max + 1, B).astype(np.int32)
+    quals = rng.integers(33, 74, (B, P)).astype(np.uint8)
+    return (jnp.asarray(pats), jnp.asarray(p_len), jnp.asarray(texts),
+            jnp.asarray(t_len), jnp.asarray(k), jnp.asarray(quals))
+
+
+@pytest.mark.parametrize("cigar_order", [False, True])
+def test_pallas_parity(cigar_order):
+    rng = np.random.default_rng(7)
+    e_max = 5
+    args = _random_cases(rng, 24, 32, e_max)
+    ref = _lv_distance_jax(*args, e_max=e_max, cigar_order=cigar_order,
+                           keep_tables=True)
+    got = _lv_distance_pallas(*args, e_max=e_max, cigar_order=cigar_order,
+                              keep_tables=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.distance),
+                                  np.asarray(ref.distance))
+    np.testing.assert_array_equal(np.asarray(got.e_final),
+                                  np.asarray(ref.e_final))
+    np.testing.assert_array_equal(np.asarray(got.d_final),
+                                  np.asarray(ref.d_final))
+    np.testing.assert_array_equal(np.asarray(got.net_indel),
+                                  np.asarray(ref.net_indel))
+    np.testing.assert_allclose(np.asarray(got.log_prob),
+                               np.asarray(ref.log_prob), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.start_run),
+                                  np.asarray(ref.start_run))
+
+
+def test_pallas_perfect_and_overflow():
+    e_max = 4
+    P = 16
+    pat = np.tile(np.asarray([0, 2], np.uint8), 8)[None, :].repeat(3, 0)
+    text = np.zeros((3, P + 2 * e_max), np.uint8)
+    text[0, :P] = pat[0]                       # perfect
+    text[1, :P] = pat[1]; text[1, 3] ^= 1      # one substitution
+    text[2, :P] = 1                            # hopeless: no base ever matches
+    p_len = np.full(3, P, np.int32)
+    t_len = np.full(3, P, np.int32)
+    k = np.asarray([2, 0, 2], np.int32)        # row1: k too small
+    args = (jnp.asarray(pat), jnp.asarray(p_len), jnp.asarray(text),
+            jnp.asarray(t_len), jnp.asarray(k), None)
+    ref = _lv_distance_jax(*args, e_max=e_max, cigar_order=False,
+                           keep_tables=False)
+    got = _lv_distance_pallas(*args, e_max=e_max, cigar_order=False,
+                              keep_tables=False, interpret=True)
+    assert np.asarray(ref.distance).tolist() == [0, -1, -1]
+    np.testing.assert_array_equal(np.asarray(got.distance),
+                                  np.asarray(ref.distance))
+    np.testing.assert_allclose(np.asarray(got.log_prob),
+                               np.asarray(ref.log_prob), rtol=1e-5)
