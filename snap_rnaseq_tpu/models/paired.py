@@ -53,6 +53,7 @@ class PairedAlignerConfig:
     cand_per_read: int = 128
     max_seed_slots: int = 32
     force_spacing: bool = False
+    score_budget_per_read: int = 16
 
     @property
     def e_max(self) -> int:
@@ -65,7 +66,8 @@ class PairedAlignerConfig:
             num_seeds=self.num_seeds, max_hits=self.max_hits,
             extra_search_depth=self.extra_search_depth,
             cand_per_read=self.cand_per_read,
-            max_seed_slots=self.max_seed_slots)
+            max_seed_slots=self.max_seed_slots,
+            score_budget_per_read=self.score_budget_per_read)
 
 
 def _dense_per_read(u, sc, in_prob_flags, B, K):
@@ -165,8 +167,13 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
         cands = sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
                                 seed_len, read_len, ecfg.cand_per_read)
         u = sg.aggregate_phase(cands)
-        sc = sg.score_phase(u, reads, quals, genome_codes, piece_starts, ecfg,
-                            seed_len, read_len, genome_size)
+        if ecfg.score_budget_per_read > 0:
+            sc = sg.filtered_score_phase(u, reads, quals, genome_codes,
+                                         piece_starts, ecfg, seed_len,
+                                         read_len, genome_size, B)
+        else:
+            sc = sg.score_phase(u, reads, quals, genome_codes, piece_starts,
+                                ecfg, seed_len, read_len, genome_size)
         single_out = sg.replay_phase(u, sc, budget, reads, B, S, ecfg)
         # cluster-representative flags for the probability mass: reuse the
         # replay's final-limit filter by recomputing in_prob cheaply

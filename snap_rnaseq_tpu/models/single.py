@@ -68,6 +68,10 @@ class SingleAlignerConfig:
     seed_coverage: float = 0.0      # -sc: num_seeds = cov*readLen/seedLen
     explore_popular: bool = False   # -x: use (capped) hits of popular seeds
     stop_on_first: bool = False     # -f: filtering mode, any hit -> SingleHit
+    # candidates surviving the bit-parallel whole-read prefilter that get
+    # full LV scoring, per read (average, pooled across the batch); 0
+    # disables the prefilter/compaction and scores every candidate slot
+    score_budget_per_read: int = 16
 
     @property
     def e_max(self) -> int:
@@ -294,6 +298,55 @@ def score_phase(u, reads, quals, genome_codes, piece_starts, cfg, seed_len,
     return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok)
 
 
+def filtered_score_phase(u, reads, quals, genome_codes, piece_starts, cfg,
+                         seed_len, read_len, genome_size, B):
+    """Two-stage scoring: bit-parallel whole-read distances for every
+    candidate slot (ops/bitpar.py), then full LV + backtrace only on a
+    compacted budget of survivors.
+
+    Exactness: concatenating a candidate's LV head+tail alignments yields a
+    whole-read alignment, so whole_dist > e_max implies head+tail scores
+    would fail the <= e_max gate in score_phase anyway; dropped candidates
+    land with score=BIG/scored_ok=False exactly as if scored.  Survivors
+    beyond the static budget are counted in `score_overflow` (the analog of
+    the reference's candidate-pool cap, IntersectingPairedEndAligner.h:33).
+    """
+    from ..ops.bitpar import bitpar_distance
+    e_max = cfg.e_max
+    C = u["read"].shape[0]
+    live = u["live"]
+    loc_c = jnp.where(live, u["loc"], 0)
+
+    rc_reads = COMP_LUT[reads[:, ::-1].astype(jnp.int32)]
+    read_both = jnp.stack([reads, rc_reads], axis=1)
+    sel = read_both[u["read"], u["dir"]]                      # (C, L)
+
+    want = read_len + e_max
+    gi = jnp.clip(loc_c[:, None] + jnp.arange(want, dtype=jnp.int32)[None, :],
+                  0, genome_size - 1)
+    text = genome_codes[gi]
+    t_len = jnp.full((C,), want, jnp.int32)
+    wdist = bitpar_distance(sel, text, t_len, P=read_len)
+    keep = live & (wdist <= e_max)
+
+    SB = B * max(cfg.score_budget_per_read, cfg.max_hits_to_get)
+    SB = min(SB, C)
+    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    chosen = order[:SB]
+    u_sub = {k: u[k][chosen] for k in ("read", "dir", "loc", "off", "live")}
+    u_sub["live"] = u_sub["live"] & keep[chosen]
+    sc_sub = score_phase(u_sub, reads, quals, genome_codes, piece_starts,
+                         cfg, seed_len, read_len, genome_size)
+
+    score = jnp.full((C,), BIG, jnp.int32).at[chosen].set(sc_sub["score"])
+    logp = jnp.full((C,), NEG_INF, jnp.float32).at[chosen].set(sc_sub["logp"])
+    loc_adj = u["loc"].at[chosen].set(sc_sub["loc_adj"])
+    scored_ok = jnp.zeros((C,), bool).at[chosen].set(sc_sub["scored_ok"])
+    n_keep = keep.sum()
+    return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok,
+                score_overflow=jnp.maximum(n_keep - SB, 0))
+
+
 def replay_phase(u, sc, budget, reads, B, S, cfg: SingleAlignerConfig):
     """Replay the sequential engine's selection over scored candidates."""
     maxK, extra = cfg.max_k, cfg.extra_search_depth
@@ -465,10 +518,16 @@ def _align_batch(reads, quals,
     cands = expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
                          read_len, cfg.cand_per_read)
     u = aggregate_phase(cands)
-    sc = score_phase(u, reads, quals, genome_codes, piece_starts, cfg,
-                     seed_len, read_len, genome_size)
+    if cfg.score_budget_per_read > 0:
+        sc = filtered_score_phase(u, reads, quals, genome_codes,
+                                  piece_starts, cfg, seed_len, read_len,
+                                  genome_size, B)
+    else:
+        sc = score_phase(u, reads, quals, genome_codes, piece_starts, cfg,
+                         seed_len, read_len, genome_size)
     out = replay_phase(u, sc, budget, reads, B, S, cfg)
     out["truncated"] = cands["truncated"]
+    out["score_overflow"] = sc.get("score_overflow", jnp.int32(0))
     out["n_lookups"] = seeds["found"].sum()
     return out
 
