@@ -166,9 +166,8 @@ class GenomeIndex:
         """
         starts = self.shard_starts
         return dict(
-            ht_keys=np.ascontiguousarray(self.ht_keys),
-            ht_val1=np.ascontiguousarray(self.ht_val1),
-            ht_val2=np.ascontiguousarray(self.ht_val2),
+            ht_entries=np.ascontiguousarray(
+                np.stack([self.ht_keys, self.ht_val1, self.ht_val2], axis=1)),
             shard_start=starts[:-1].astype(np.int32),
             shard_size=np.diff(starts).astype(np.int32),
             overflow=np.ascontiguousarray(self.overflow),

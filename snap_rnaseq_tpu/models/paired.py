@@ -149,7 +149,7 @@ def pair_phase(d0, d1, cfg: PairedAlignerConfig, popular0, popular1):
     jax.jit,
     static_argnames=("cfg", "seed_len", "read_len", "genome_size"))
 def _paired_align_batch(reads0, quals0, reads1, quals1,
-                        ht_keys, ht_val1, ht_val2, shard_start, shard_size,
+                        ht_entries, shard_start, shard_size,
                         overflow, genome_codes, piece_starts,
                         schedule, wraps,
                         *, cfg: PairedAlignerConfig, seed_len: int,
@@ -159,8 +159,8 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
     ecfg = cfg.end_config()
     ends = []
     for reads, quals in ((reads0, quals0), (reads1, quals1)):
-        seeds = sg.seed_phase(reads, schedule, seed_len, ht_keys, ht_val1,
-                              ht_val2, shard_start, shard_size, overflow,
+        seeds = sg.seed_phase(reads, schedule, seed_len, ht_entries,
+                              shard_start, shard_size, overflow,
                               genome_size)
         cg = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
         budget = sg.budget_phase(seeds["valid"], cg, wraps, ecfg)
@@ -236,7 +236,7 @@ class PairedAligner:
         S = min(self.cfg.max_seed_slots, len(positions))
         return _paired_align_batch(
             reads0, quals0, reads1, quals1,
-            self._dev["ht_keys"], self._dev["ht_val1"], self._dev["ht_val2"],
+            self._dev["ht_entries"],
             self._dev["shard_start"], self._dev["shard_size"],
             self._dev["overflow"], self._dev["genome_codes"],
             self._dev["piece_starts"],

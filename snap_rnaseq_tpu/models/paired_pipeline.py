@@ -11,6 +11,9 @@ import time
 from collections import defaultdict
 from dataclasses import dataclass
 
+import jax.numpy as jnp
+import numpy as np
+
 from ..constants import DEFAULT_MIN_READ_LENGTH
 from ..index.hash_index import GenomeIndex
 from ..io.readers import open_paired_read_supplier
@@ -95,14 +98,23 @@ class PairedEndPipeline:
                 if paired:
                     stats.aligned_as_pairs += 2
 
+            pending = []
+
             def flush_bucket(L):
                 pairs = buckets.pop(L, [])
                 if not pairs:
                     return
                 b0 = make_batch([p[0] for p in pairs], L, opt.batch_size)
                 b1 = make_batch([p[1] for p in pairs], L, opt.batch_size)
-                res = self.aligner.align_batch(b0.codes, b0.quals,
-                                               b1.codes, b1.quals)
+                out_dev = self.aligner.align_batch_device(
+                    jnp.asarray(b0.codes), jnp.asarray(b0.quals),
+                    jnp.asarray(b1.codes), jnp.asarray(b1.quals))
+                pending.append((pairs, out_dev))
+                if len(pending) > 1:
+                    drain(*pending.pop(0))
+
+            def drain(pairs, out_dev):
+                res = {k: np.asarray(v) for k, v in out_dev.items()}
                 stats.truncated_candidates += int(
                     (res["truncated0"] > 0).sum() + (res["truncated1"] > 0).sum())
                 for i, (r0, r1) in enumerate(pairs):
@@ -142,6 +154,8 @@ class PairedEndPipeline:
                     flush_bucket(L)
             for L in list(buckets):
                 flush_bucket(L)
+            while pending:
+                drain(*pending.pop(0))
             builder.flush(out)
             stats.align_time = time.time() - t0
         finally:

@@ -16,6 +16,7 @@ import time
 from collections import defaultdict
 from dataclasses import dataclass
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DEFAULT_MIN_READ_LENGTH
@@ -70,6 +71,10 @@ class SingleEndPipeline:
         try:
             buckets: dict[int, list] = defaultdict(list)
             t0 = time.time()
+            # one batch in flight: JAX dispatch is async, so the device
+            # aligns batch N while the host formats batch N-1's records
+            # (the ReadSupplierQueue/double-buffering analog)
+            pending: list = []
 
             def flush_bucket(length: int):
                 reads = buckets.pop(length, [])
@@ -77,7 +82,14 @@ class SingleEndPipeline:
                     return
                 # fixed batch capacity -> one compiled kernel per read length
                 batch = make_batch(reads, length, opt.batch_size)
-                res = self.aligner.align_batch(batch.codes, batch.quals)
+                out_dev = self.aligner.align_batch_device(
+                    jnp.asarray(batch.codes), jnp.asarray(batch.quals))
+                pending.append((reads, out_dev))
+                if len(pending) > 1:
+                    drain(*pending.pop(0))
+
+            def drain(reads, out_dev):
+                res = {k: np.asarray(v) for k, v in out_dev.items()}
                 stats.lv_calls += int(res["n_lookups"])
                 stats.popular_skipped += int(res["popular"].sum())
                 stats.truncated_candidates += int((res["truncated"] > 0).sum())
@@ -121,6 +133,8 @@ class SingleEndPipeline:
                     flush_bucket(L)
             for L in list(buckets):
                 flush_bucket(L)
+            while pending:
+                drain(*pending.pop(0))
             builder.flush(out)
             stats.align_time = time.time() - t0
         finally:

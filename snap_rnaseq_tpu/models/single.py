@@ -95,13 +95,13 @@ def _segment_ids(boundary: jnp.ndarray) -> jnp.ndarray:
 # phases
 # ----------------------------------------------------------------------
 
-def seed_phase(reads, schedule, seed_len, ht_keys, ht_val1, ht_val2,
+def seed_phase(reads, schedule, seed_len, ht_entries,
                shard_start, shard_size, overflow, genome_size):
     """Pack + look up every scheduled seed.  Local to an index shard: seeds
     whose table lives elsewhere simply come back not-found (size 0)."""
     packed = lk.pack_seeds(reads, schedule, seed_len)
     found, fwd_val, rc_val = lk.lookup_seeds(
-        packed, ht_keys, ht_val1, ht_val2, shard_start, shard_size)
+        packed, ht_entries, shard_start, shard_size)
     cnt_f, base_f = lk.expand_counts(fwd_val, overflow, genome_size)
     cnt_r, base_r = lk.expand_counts(rc_val, overflow, genome_size)
     return dict(
@@ -231,13 +231,19 @@ def aggregate_phase(c):
 
 
 def score_phase(u, reads, quals, genome_codes, piece_starts, cfg, seed_len,
-                read_len, genome_size):
+                read_len, genome_size, band: int | None = None):
     """Two batched LV calls per unique candidate; log-space probabilities.
 
     Matches the scoring block of BaseAligner.cpp:1150-1260 including the
     piece-boundary text clipping and the (1-SNP_PROB)^seedLen seed factor.
+
+    `band` narrows the LV diagonal band below cfg.e_max when the caller has
+    proven every candidate's distance fits (filtered_score_phase buckets by
+    whole-read distance); DP values within a sufficient band are
+    band-independent, so results are identical — just cheaper.
     """
-    e_max = cfg.e_max
+    e_max = cfg.e_max if band is None else band
+    gate = cfg.e_max
     C = u["read"].shape[0]
     rc_reads = COMP_LUT[reads[:, ::-1].astype(jnp.int32)]
     rc_quals = quals[:, ::-1]
@@ -289,7 +295,7 @@ def score_phase(u, reads, quals, genome_codes, piece_starts, cfg, seed_len,
                      bwd_qual, e_max=e_max)
 
     scored_ok = u["live"] & data_ok & (r1.distance >= 0) & (r2.distance >= 0) \
-        & (r1.distance + r2.distance <= e_max)
+        & (r1.distance + r2.distance <= gate)
     score = jnp.where(scored_ok, r1.distance + r2.distance, BIG)
     logp = jnp.where(scored_ok,
                      r1.log_prob + r2.log_prob + seed_len * LOG_ONE_MINUS_SNP,
@@ -327,24 +333,47 @@ def filtered_score_phase(u, reads, quals, genome_codes, piece_starts, cfg,
     text = genome_codes[gi]
     t_len = jnp.full((C,), want, jnp.int32)
     wdist = bitpar_distance(sel, text, t_len, P=read_len)
-    keep = live & (wdist <= e_max)
 
-    SB = B * max(cfg.score_budget_per_read, cfg.max_hits_to_get)
-    SB = min(SB, C)
-    order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
-    chosen = order[:SB]
-    u_sub = {k: u[k][chosen] for k in ("read", "dir", "loc", "off", "live")}
-    u_sub["live"] = u_sub["live"] & keep[chosen]
-    sc_sub = score_phase(u_sub, reads, quals, genome_codes, piece_starts,
-                         cfg, seed_len, read_len, genome_size)
+    # Distance buckets: a candidate's LV head/tail distances are each
+    # bounded by its whole-read distance (restricting the whole alignment to
+    # either side never costs more), so survivors with a small whole-read
+    # distance can run in a much narrower DP band — identical results,
+    # ~ (D_small/D_full)^2 of the work.
+    E1 = min(7, e_max)
+    keep1 = live & (wdist <= E1)
+    keep2 = live & (wdist > E1) & (wdist <= e_max)
 
-    score = jnp.full((C,), BIG, jnp.int32).at[chosen].set(sc_sub["score"])
-    logp = jnp.full((C,), NEG_INF, jnp.float32).at[chosen].set(sc_sub["logp"])
-    loc_adj = u["loc"].at[chosen].set(sc_sub["loc_adj"])
-    scored_ok = jnp.zeros((C,), bool).at[chosen].set(sc_sub["scored_ok"])
-    n_keep = keep.sum()
+    score = jnp.full((C,), BIG, jnp.int32)
+    logp = jnp.full((C,), NEG_INF, jnp.float32)
+    loc_adj = u["loc"]
+    scored_ok = jnp.zeros((C,), bool)
+    overflow = jnp.int32(0)
+
+    per_read = max(cfg.score_budget_per_read, cfg.max_hits_to_get)
+    # bucket 2 (whole-read distance in (E1, e_max]) is rare in practice —
+    # a small pooled budget suffices; overflow is counted
+    for keep, SB, band in ((keep1, min(B * per_read, C), E1),
+                           (keep2, min(max(B // 2, 256), C), e_max)):
+        if band == e_max and e_max <= E1:
+            continue    # bucket 2 empty when the full band is already small
+        order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+        chosen = order[:SB]
+        u_sub = {k: u[k][chosen] for k in ("read", "dir", "loc", "off", "live")}
+        u_sub["live"] = u_sub["live"] & keep[chosen]
+        sc_sub = score_phase(u_sub, reads, quals, genome_codes, piece_starts,
+                             cfg, seed_len, read_len, genome_size, band=band)
+        score = score.at[chosen].set(
+            jnp.where(u_sub["live"], sc_sub["score"], score[chosen]))
+        logp = logp.at[chosen].set(
+            jnp.where(u_sub["live"], sc_sub["logp"], logp[chosen]))
+        loc_adj = loc_adj.at[chosen].set(
+            jnp.where(u_sub["live"], sc_sub["loc_adj"], loc_adj[chosen]))
+        scored_ok = scored_ok.at[chosen].set(
+            jnp.where(u_sub["live"], sc_sub["scored_ok"], scored_ok[chosen]))
+        overflow = overflow + jnp.maximum(keep.sum() - SB, 0)
+
     return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok,
-                score_overflow=jnp.maximum(n_keep - SB, 0))
+                score_overflow=overflow)
 
 
 def replay_phase(u, sc, budget, reads, B, S, cfg: SingleAlignerConfig):
@@ -504,14 +533,14 @@ def _multi_hits(u_read, loc_adj, u_dir, score, u_order, in_play, B, C,
     jax.jit,
     static_argnames=("cfg", "seed_len", "read_len", "genome_size"))
 def _align_batch(reads, quals,
-                 ht_keys, ht_val1, ht_val2, shard_start, shard_size,
+                 ht_entries, shard_start, shard_size,
                  overflow, genome_codes, piece_starts,
                  schedule, wraps,
                  *, cfg: SingleAlignerConfig, seed_len: int, read_len: int,
                  genome_size: int):
     B = reads.shape[0]
     S = schedule.shape[0]
-    seeds = seed_phase(reads, schedule, seed_len, ht_keys, ht_val1, ht_val2,
+    seeds = seed_phase(reads, schedule, seed_len, ht_entries,
                        shard_start, shard_size, overflow, genome_size)
     counts_global = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
     budget = budget_phase(seeds["valid"], counts_global, wraps, cfg)
@@ -561,7 +590,7 @@ class SingleAligner:
         positions, wraps = self.schedule_for(L)
         return _align_batch(
             reads, quals,
-            self._dev["ht_keys"], self._dev["ht_val1"], self._dev["ht_val2"],
+            self._dev["ht_entries"],
             self._dev["shard_start"], self._dev["shard_size"],
             self._dev["overflow"], self._dev["genome_codes"],
             self._dev["piece_starts"],

@@ -79,9 +79,14 @@ def pack_seeds(reads: jnp.ndarray, positions: jnp.ndarray, seed_len: int):
                 n_hi_bits=2 * n_hi)
 
 
-def lookup_seeds(packed: dict, ht_keys, ht_val1, ht_val2,
+def lookup_seeds(packed: dict, ht_entries,
                  shard_start, shard_size):
     """Probe the index for every (read, seed).
+
+    ht_entries: (slots, 3) u32 — the reference's 12-byte
+    {key, value1, value2} entries interleaved (HashTable.h:119-123) so one
+    probe is ONE gather of three adjacent words instead of three scattered
+    gathers.
 
     Returns (found, fwd_val, rc_val): found bool (B,S); values u32 (B,S)
     holding the reference entry halves already swapped so fwd_val describes
@@ -105,8 +110,8 @@ def lookup_seeds(packed: dict, ht_keys, ht_val1, ht_val2,
     idx0 = (murmur32(key) % size_safe.astype(jnp.uint32)).astype(jnp.int32)
 
     def gather(idx):
-        g = base + idx
-        return ht_keys[g], ht_val1[g], ht_val2[g]
+        e = ht_entries[base + idx]
+        return e[..., 0], e[..., 1], e[..., 2]
 
     k0, v10, v20 = gather(idx0)
     hit0 = (k0 == key) & (v10 != _EMPTY)

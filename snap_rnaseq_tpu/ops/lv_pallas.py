@@ -42,8 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .lv import _d_order, LOG_GAP_EXTEND, LOG_GAP_OPEN, LOG_ONE_MINUS_SNP
 
-LV_TILE = 64           # candidates per grid step (VMEM-bounded: the 3D
-                       # (T, D, P) temporaries must fit the 16MB scoped vmem)
+def lv_tile(e_max: int) -> int:
+    """Candidates per grid step — bounded by the 16MB scoped VMEM holding
+    a few (T, D, P) int32 temporaries; narrow bands afford bigger tiles."""
+    D = 2 * e_max + 1
+    return 64 if D > 16 else 128
 
 ACT_X, ACT_D, ACT_I = 0, 1, 2
 NEG_INF = -1e30
@@ -259,7 +262,7 @@ def lv_distance_pallas_core(pattern, p_len, textp, t_len, k, qual_logp, *,
     TXT = textp.shape[1]
     assert TXT >= 2 * e_max + P, (TXT, e_max, P)
     D = 2 * e_max + 1
-    T = LV_TILE
+    T = lv_tile(e_max)
     Bp = ((B + T - 1) // T) * T
     if Bp != B:
         pad = Bp - B

@@ -66,9 +66,8 @@ def partition_index(index: GenomeIndex, n_idx: int) -> dict:
         max_slots = max(max_slots, int(starts[hi] - starts[lo]))
         max_ovf = max(max_ovf, int(ovf_starts[hi] - ovf_starts[lo]))
 
-    keys = np.zeros((n_idx, max_slots), np.uint32)
-    val1 = np.full((n_idx, max_slots), INVALID_GENOME_LOCATION, np.uint32)
-    val2 = np.zeros((n_idx, max_slots), np.uint32)
+    entries = np.zeros((n_idx, max_slots, 3), np.uint32)
+    entries[:, :, 1] = INVALID_GENOME_LOCATION
     ovf = np.zeros((n_idx, max_ovf), np.uint32)
     sh_start = np.zeros((n_idx, n_shards), np.int32)
     sh_size = np.zeros((n_idx, n_shards), np.int32)
@@ -77,7 +76,7 @@ def partition_index(index: GenomeIndex, n_idx: int) -> dict:
         lo, hi = int(cuts[d]), int(cuts[d + 1])
         s0, s1 = int(starts[lo]), int(starts[hi])
         o0, o1 = int(ovf_starts[lo]), int(ovf_starts[hi])
-        keys[d, :s1 - s0] = index.ht_keys[s0:s1]
+        entries[d, :s1 - s0, 0] = index.ht_keys[s0:s1]
         v1 = index.ht_val1[s0:s1].astype(np.uint64)
         v2 = index.ht_val2[s0:s1].astype(np.uint64)
         # rebase overflow pointers (value >= genome size) to the local slice
@@ -85,13 +84,13 @@ def partition_index(index: GenomeIndex, n_idx: int) -> dict:
             is_ovf = (v >= gsize) & (v != INVALID_GENOME_LOCATION) & \
                 (v != UNUSED_HASH_VALUE)
             v[is_ovf] -= np.uint64(o0)
-        val1[d, :s1 - s0] = v1.astype(np.uint32)
-        val2[d, :s1 - s0] = v2.astype(np.uint32)
+        entries[d, :s1 - s0, 1] = v1.astype(np.uint32)
+        entries[d, :s1 - s0, 2] = v2.astype(np.uint32)
         ovf[d, :o1 - o0] = index.overflow[o0:o1]
         sh_start[d, lo:hi] = (starts[lo:hi] - s0).astype(np.int32)
         sh_size[d, lo:hi] = np.diff(starts[lo:hi + 1]).astype(np.int32)
 
-    return dict(ht_keys=keys, ht_val1=val1, ht_val2=val2, overflow=ovf,
+    return dict(ht_entries=entries, overflow=ovf,
                 shard_start=sh_start, shard_size=sh_size, cuts=cuts)
 
 
@@ -114,7 +113,7 @@ class ShardedSingleAligner:
             return jax.device_put(arr, NamedSharding(mesh, spec))
 
         self._ht = {k: put(parts[k], P("index"))
-                    for k in ("ht_keys", "ht_val1", "ht_val2", "overflow",
+                    for k in ("ht_entries", "overflow",
                               "shard_start", "shard_size")}
         self._genome = put(np.ascontiguousarray(index.genome.codes), P())
         self._pieces = put(index.genome.piece_offsets.astype(np.int32), P())
@@ -129,7 +128,7 @@ class ShardedSingleAligner:
         out = _sharded_align(
             jax.device_put(reads, NamedSharding(self.mesh, P("data"))),
             jax.device_put(quals, NamedSharding(self.mesh, P("data"))),
-            self._ht["ht_keys"], self._ht["ht_val1"], self._ht["ht_val2"],
+            self._ht["ht_entries"],
             self._ht["shard_start"], self._ht["shard_size"],
             self._ht["overflow"], self._genome, self._pieces,
             jnp.asarray(positions), jnp.asarray(wraps),
@@ -149,21 +148,21 @@ def seed_position_schedule_cached(read_len, seed_len, max_slots):
     jax.jit,
     static_argnames=("mesh", "cfg", "seed_len", "read_len", "genome_size",
                      "n_idx"))
-def _sharded_align(reads, quals, ht_keys, ht_val1, ht_val2, shard_start,
+def _sharded_align(reads, quals, ht_entries, shard_start,
                    shard_size, overflow, genome_codes, piece_starts,
                    schedule, wraps, *, mesh, cfg, seed_len, read_len,
                    genome_size, n_idx):
 
-    def step(reads_l, quals_l, keys_l, v1_l, v2_l, sstart_l, ssize_l, ovf_l,
+    def step(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
              genome, pieces):
         # leading device axis of size 1 from shard_map: strip it
-        keys_l, v1_l, v2_l = keys_l[0], v1_l[0], v2_l[0]
+        entries_l = entries_l[0]
         sstart_l, ssize_l, ovf_l = sstart_l[0], ssize_l[0], ovf_l[0]
 
         B = reads_l.shape[0]
         S = schedule.shape[0]
 
-        seeds = sg.seed_phase(reads_l, schedule, seed_len, keys_l, v1_l, v2_l,
+        seeds = sg.seed_phase(reads_l, schedule, seed_len, entries_l,
                               sstart_l, ssize_l, ovf_l, genome_size)
         counts_local = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
         counts_global = jax.lax.psum(counts_local, "index")
@@ -201,10 +200,9 @@ def _sharded_align(reads, quals, ht_keys, ht_val1, ht_val2, shard_start,
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(P("data"), P("data"),
-                  P("index"), P("index"), P("index"),
-                  P("index"), P("index"), P("index"),
+                  P("index"), P("index"), P("index"), P("index"),
                   P(), P()),
         out_specs=P("data"),
         check_rep=False)
-    return fn(reads, quals, ht_keys, ht_val1, ht_val2, shard_start,
+    return fn(reads, quals, ht_entries, shard_start,
               shard_size, overflow, genome_codes, piece_starts)
