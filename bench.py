@@ -52,8 +52,17 @@ def main():
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, GENOME_BASES, dtype=np.uint8)
-    genome = genome_from_codes(codes)
-    index = build_index(genome, seed_len=20)
+    # cache the synthetic index across bench runs (the build is host-side
+    # numpy and dominates wall time otherwise)
+    cache_dir = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                             f"snap_tpu_bench_idx_{GENOME_BASES}_s20")
+    from snap_rnaseq_tpu.index.hash_index import GenomeIndex
+    if os.path.exists(os.path.join(cache_dir, "index.json")):
+        index = GenomeIndex.load(cache_dir)
+    else:
+        genome = genome_from_codes(codes)
+        index = build_index(genome, seed_len=20)
+        index.save(cache_dir)
     aligner = SingleAligner(index, cand_per_read=64, max_seed_slots=32)
 
     def make_reads(seed):

@@ -150,7 +150,7 @@ def pair_phase(d0, d1, cfg: PairedAlignerConfig, popular0, popular1):
     static_argnames=("cfg", "seed_len", "read_len", "genome_size"))
 def _paired_align_batch(reads0, quals0, reads1, quals1,
                         ht_entries, shard_start, shard_size,
-                        overflow, genome_codes, piece_starts,
+                        overflow, genome_p4, piece_starts,
                         schedule, wraps,
                         *, cfg: PairedAlignerConfig, seed_len: int,
                         read_len: int, genome_size: int):
@@ -168,11 +168,11 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
                                 seed_len, read_len, ecfg.cand_per_read)
         u = sg.aggregate_phase(cands)
         if ecfg.score_budget_per_read > 0:
-            sc = sg.filtered_score_phase(u, reads, quals, genome_codes,
+            sc = sg.filtered_score_phase(u, reads, quals, genome_p4,
                                          piece_starts, ecfg, seed_len,
                                          read_len, genome_size, B)
         else:
-            sc = sg.score_phase(u, reads, quals, genome_codes, piece_starts,
+            sc = sg.score_phase(u, reads, quals, genome_p4, piece_starts,
                                 ecfg, seed_len, read_len, genome_size)
         single_out = sg.replay_phase(u, sc, budget, reads, B, S, ecfg)
         # cluster-representative flags for the probability mass: reuse the
@@ -225,7 +225,10 @@ class PairedAligner:
         self.cfg = cfg
         arrs = index.device_arrays()
         self._dev = {k: jnp.asarray(v) for k, v in arrs.items()
-                     if k != "genome_size"}
+                     if k not in ("genome_size", "genome_codes")}
+        from ..ops.genome_gather import pack_genome_4bit
+        self._dev["genome_p4"] = jnp.asarray(
+            pack_genome_4bit(arrs["genome_codes"]))
         self._dev["piece_starts"] = jnp.asarray(
             index.genome.piece_offsets.astype(np.int32))
         self.genome_size = int(arrs["genome_size"])
@@ -238,7 +241,7 @@ class PairedAligner:
             reads0, quals0, reads1, quals1,
             self._dev["ht_entries"],
             self._dev["shard_start"], self._dev["shard_size"],
-            self._dev["overflow"], self._dev["genome_codes"],
+            self._dev["overflow"], self._dev["genome_p4"],
             self._dev["piece_starts"],
             jnp.asarray(positions[:S]), jnp.asarray(wraps[:S]),
             cfg=self.cfg, seed_len=self.index.seed_len, read_len=L,

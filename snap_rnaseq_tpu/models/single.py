@@ -43,6 +43,7 @@ from ..constants import (DEFAULT_EXTRA_SEARCH_DEPTH, INVALID_GENOME_LOCATION,
                          SINGLE_DEFAULTS, SNP_PROB)
 from ..index.hash_index import GenomeIndex
 from ..ops import lookup as lk
+from ..ops.genome_gather import gather_windows, pack_genome_4bit
 from ..ops.lv import NEG_INF, lv_distance
 from ..utils.seed_sequencer import seed_position_schedule
 
@@ -230,7 +231,7 @@ def aggregate_phase(c):
     )
 
 
-def score_phase(u, reads, quals, genome_codes, piece_starts, cfg, seed_len,
+def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
                 read_len, genome_size, band: int | None = None):
     """Two batched LV calls per unique candidate; log-space probabilities.
 
@@ -266,12 +267,11 @@ def score_phase(u, reads, quals, genome_codes, piece_starts, cfg, seed_len,
     text_len = jnp.where(crosses, end_off - loc_c - 1, want)
     data_ok = text_len >= read_len - MAX_K
 
-    ar = jnp.arange(read_len + MAX_K, dtype=jnp.int32)
     arp = jnp.arange(read_len, dtype=jnp.int32)
     rows = jnp.arange(C)[:, None]
+    want = read_len + MAX_K
 
-    gi = jnp.clip(loc_c[:, None] + tail[:, None] + ar[None, :], 0, genome_size - 1)
-    fwd_text = genome_codes[gi]
+    fwd_text = gather_windows(genome_p4, loc_c + tail, width=want)
     fwd_tlen = jnp.maximum(text_len - tail, 0)
     ridx = jnp.clip(tail[:, None] + arp[None, :], 0, read_len - 1)
     sel = read_both[u["read"], u["dir"]]
@@ -287,9 +287,11 @@ def score_phase(u, reads, quals, genome_codes, piece_starts, cfg, seed_len,
     bidx = jnp.clip(so[:, None] - 1 - arp[None, :], 0, read_len - 1)
     bwd_pat = sel[rows, bidx]
     bwd_qual = selq[rows, bidx]
-    gbi = jnp.clip(loc_c[:, None] + so[:, None] - 1 - ar[None, :], 0,
-                   genome_size - 1)
-    bwd_text = genome_codes[gbi]
+    # backward text = forward window ending at loc+so, flipped; starts in
+    # the leading chromosome padding clamp to code-5 pads (never match),
+    # same effect as the old per-element clip-to-zero
+    bwd_text = jnp.flip(
+        gather_windows(genome_p4, loc_c + so - want, width=want), axis=1)
     bwd_tlen = jnp.minimum(so + MAX_K, loc_c + so)
     r2 = lv_distance(bwd_pat, so, bwd_text, bwd_tlen, kvec,
                      bwd_qual, e_max=e_max)
@@ -304,7 +306,7 @@ def score_phase(u, reads, quals, genome_codes, piece_starts, cfg, seed_len,
     return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok)
 
 
-def filtered_score_phase(u, reads, quals, genome_codes, piece_starts, cfg,
+def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
                          seed_len, read_len, genome_size, B):
     """Two-stage scoring: bit-parallel whole-read distances for every
     candidate slot (ops/bitpar.py), then full LV + backtrace only on a
@@ -328,9 +330,7 @@ def filtered_score_phase(u, reads, quals, genome_codes, piece_starts, cfg,
     sel = read_both[u["read"], u["dir"]]                      # (C, L)
 
     want = read_len + e_max
-    gi = jnp.clip(loc_c[:, None] + jnp.arange(want, dtype=jnp.int32)[None, :],
-                  0, genome_size - 1)
-    text = genome_codes[gi]
+    text = gather_windows(genome_p4, loc_c, width=want)
     t_len = jnp.full((C,), want, jnp.int32)
     wdist = bitpar_distance(sel, text, t_len, P=read_len)
 
@@ -360,7 +360,7 @@ def filtered_score_phase(u, reads, quals, genome_codes, piece_starts, cfg,
         chosen = order[:SB]
         u_sub = {k: u[k][chosen] for k in ("read", "dir", "loc", "off", "live")}
         u_sub["live"] = u_sub["live"] & keep[chosen]
-        sc_sub = score_phase(u_sub, reads, quals, genome_codes, piece_starts,
+        sc_sub = score_phase(u_sub, reads, quals, genome_p4, piece_starts,
                              cfg, seed_len, read_len, genome_size, band=band)
         score = score.at[chosen].set(
             jnp.where(u_sub["live"], sc_sub["score"], score[chosen]))
@@ -534,7 +534,7 @@ def _multi_hits(u_read, loc_adj, u_dir, score, u_order, in_play, B, C,
     static_argnames=("cfg", "seed_len", "read_len", "genome_size"))
 def _align_batch(reads, quals,
                  ht_entries, shard_start, shard_size,
-                 overflow, genome_codes, piece_starts,
+                 overflow, genome_p4, piece_starts,
                  schedule, wraps,
                  *, cfg: SingleAlignerConfig, seed_len: int, read_len: int,
                  genome_size: int):
@@ -548,11 +548,11 @@ def _align_batch(reads, quals,
                          read_len, cfg.cand_per_read)
     u = aggregate_phase(cands)
     if cfg.score_budget_per_read > 0:
-        sc = filtered_score_phase(u, reads, quals, genome_codes,
+        sc = filtered_score_phase(u, reads, quals, genome_p4,
                                   piece_starts, cfg, seed_len, read_len,
                                   genome_size, B)
     else:
-        sc = score_phase(u, reads, quals, genome_codes, piece_starts, cfg,
+        sc = score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
                          seed_len, read_len, genome_size)
     out = replay_phase(u, sc, budget, reads, B, S, cfg)
     out["truncated"] = cands["truncated"]
@@ -574,7 +574,9 @@ class SingleAligner:
         self.cfg = cfg
         arrs = index.device_arrays()
         self._dev = {k: jnp.asarray(v) for k, v in arrs.items()
-                     if k != "genome_size"}
+                     if k not in ("genome_size", "genome_codes")}
+        self._dev["genome_p4"] = jnp.asarray(
+            pack_genome_4bit(arrs["genome_codes"]))
         self._dev["piece_starts"] = jnp.asarray(
             index.genome.piece_offsets.astype(np.int32))
         self.genome_size = int(arrs["genome_size"])
@@ -592,7 +594,7 @@ class SingleAligner:
             reads, quals,
             self._dev["ht_entries"],
             self._dev["shard_start"], self._dev["shard_size"],
-            self._dev["overflow"], self._dev["genome_codes"],
+            self._dev["overflow"], self._dev["genome_p4"],
             self._dev["piece_starts"],
             jnp.asarray(positions), jnp.asarray(wraps),
             cfg=self.cfg.resolve_for_read_len(L),

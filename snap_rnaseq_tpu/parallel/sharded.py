@@ -115,7 +115,9 @@ class ShardedSingleAligner:
         self._ht = {k: put(parts[k], P("index"))
                     for k in ("ht_entries", "overflow",
                               "shard_start", "shard_size")}
-        self._genome = put(np.ascontiguousarray(index.genome.codes), P())
+        from ..ops.genome_gather import pack_genome_4bit
+        self._genome = put(pack_genome_4bit(
+            np.ascontiguousarray(index.genome.codes)), P())
         self._pieces = put(index.genome.piece_offsets.astype(np.int32), P())
         self.genome_size = index.genome_size
 
