@@ -187,14 +187,22 @@ def cmd_single(argv):
 
     from .models.pipeline import PipelineOptions, SingleEndPipeline
 
-    if len(pos) == 2:
-        genome_dir, fastq = pos
+    import os as _os
+
+    def _is_index_dir(d):
+        return _os.path.isdir(d) and \
+            _os.path.exists(_os.path.join(d, "index.json"))
+
+    if len(pos) >= 4 and _is_index_dir(pos[1]):
+        genome_dir, transcriptome_dir, annotation = pos[:3]
+        fastq = pos[3] if len(pos) == 4 else pos[3:]
+    elif len(pos) >= 2:
+        genome_dir = pos[0]
         transcriptome_dir = annotation = None
-    elif len(pos) == 4:
-        genome_dir, transcriptome_dir, annotation, fastq = pos
+        fastq = pos[1] if len(pos) == 2 else pos[1:]
     else:
         print("usage: snap-rna-tpu single <genome-dir> "
-              "[<transcriptome-dir> <annotation>] <input> -o out.sam",
+              "[<transcriptome-dir> <annotation>] <input>... -o out.sam",
               file=sys.stderr)
         return 2
 

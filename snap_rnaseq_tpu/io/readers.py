@@ -141,3 +141,12 @@ def open_paired_read_supplier(path0, path1=None):
     if path1 is None or lower.endswith((".sam", ".bam")):
         return _pair_interleaved(open_read_supplier(path0))
     return fq.read_paired_fastq(path0, path1)
+
+
+def open_multi_read_supplier(paths):
+    """MultiInputReadSupplier analog (MultiInputReadSupplier.h:28-75):
+    consume several single-end inputs in sequence (the reference
+    round-robins batches; ordering within the output is unspecified there
+    too, so sequential chaining is equivalent)."""
+    for p in paths:
+        yield from open_read_supplier(p)

@@ -20,7 +20,7 @@ from ..io.readers import open_paired_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
 from ..io.sam import NOT_FOUND, passes_filter
 from ..io.writers import make_output_and_builder
-from ..utils.stats import AlignerStats
+from ..utils.stats import PairedAlignerStats
 from ..utils.wgsim import wgsim_misaligned
 from .paired import PairedAligner, PairedAlignerConfig
 
@@ -56,7 +56,7 @@ class PairedEndPipeline:
                                      min_spacing=self.opt.min_spacing,
                                      max_spacing=self.opt.max_spacing,
                                      **aligner_overrides)
-        self.stats = AlignerStats()
+        self.stats = PairedAlignerStats()
 
     def run(self, fq0: str, fq1: str, out_path: str,
             command_line: str = "snap-rna-tpu"):
@@ -72,7 +72,7 @@ class PairedEndPipeline:
             t0 = time.time()
 
             def emit_pair(r0, r1, res0, loc0, dir0, mq0, res1, loc1, dir1, mq1,
-                          paired):
+                          paired, pair_score=0):
                 emit = passes_filter(res0, opt.pass_filter) or \
                     passes_filter(res1, opt.pass_filter)
                 for r, res, loc, d, mq, mate_read, mres, mloc, mdir, first in (
@@ -97,6 +97,7 @@ class PairedEndPipeline:
                         stats.record_mapq(mq, was_err)
                 if paired:
                     stats.aligned_as_pairs += 2
+                    stats.record_pair(loc1 - loc0, pair_score)
 
             pending = []
 
@@ -123,7 +124,8 @@ class PairedEndPipeline:
                               int(res["dir0"][i]), int(res["mapq0"][i]),
                               int(res["result1"][i]), int(res["loc1"][i]),
                               int(res["dir1"][i]), int(res["mapq1"][i]),
-                              bool(res["pair_found"][i]))
+                              bool(res["pair_found"][i]),
+                              int(res["pair_score"][i]))
                 builder.flush(out)
 
             for r0, r1 in open_paired_read_supplier(fq0, fq1):

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..constants import DEFAULT_MIN_READ_LENGTH
 from ..index.hash_index import GenomeIndex
-from ..io.readers import open_read_supplier
+from ..io.readers import open_multi_read_supplier, open_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
 from ..io.sam import NOT_FOUND, passes_filter
 from ..io.writers import make_output_and_builder
@@ -116,7 +116,10 @@ class SingleEndPipeline:
                                     direction, mapq)
                 builder.flush(out)
 
-            for read in open_read_supplier(fastq_path):
+            supplier = (open_multi_read_supplier(fastq_path)
+                        if isinstance(fastq_path, (list, tuple))
+                        else open_read_supplier(fastq_path))
+            for read in supplier:
                 stats.total_reads += 1
                 clip_read(read, opt.clipping)
                 if (read.data_length < opt.min_read_length

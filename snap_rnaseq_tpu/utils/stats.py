@@ -75,3 +75,64 @@ class AlignerStats:
             if self.mapq_histogram[m]:
                 rows.append(f"{m}\t{self.mapq_histogram[m]}\t{self.mapq_errors[m]}")
         return "\n".join(rows)
+
+
+@dataclass
+class Histogram:
+    """Bucketed counter, optionally exponential (Histogram.h:28-55)."""
+    n_buckets: int = 64
+    exponential: bool = False
+    counts: np.ndarray = None
+
+    def __post_init__(self):
+        if self.counts is None:
+            self.counts = np.zeros(self.n_buckets, np.int64)
+
+    def add(self, value: int, count: int = 1):
+        if self.exponential:
+            b = 0 if value <= 0 else min(self.n_buckets - 1,
+                                         int(value).bit_length())
+        else:
+            b = max(0, min(self.n_buckets - 1, int(value)))
+        self.counts[b] += count
+
+    def rows(self):
+        for b in range(self.n_buckets):
+            if self.counts[b]:
+                label = (1 << b) if self.exponential else b
+                yield label, int(self.counts[b])
+
+
+@dataclass
+class PairedAlignerStats(AlignerStats):
+    """AlignerStats + the paired extras (PairedAligner.cpp:57-145):
+    mate-distance and pair-score histograms."""
+    distance_histogram: Histogram = field(
+        default_factory=lambda: Histogram(n_buckets=32, exponential=True))
+    score_histogram: Histogram = field(
+        default_factory=lambda: Histogram(n_buckets=64))
+
+    def record_pair(self, distance: int, score: int):
+        self.distance_histogram.add(abs(int(distance)))
+        self.score_histogram.add(int(score))
+
+    def pair_tables(self) -> str:
+        lines = ["mate distance\tcount"]
+        lines += [f"<={d}\t{c}" for d, c in self.distance_histogram.rows()]
+        lines.append("pair score\tcount")
+        lines += [f"{s}\t{c}" for s, c in self.score_histogram.rows()]
+        return "\n".join(lines)
+
+
+@dataclass
+class WaitProfile:
+    """Host-pipeline time split (the PrintWaitProfile analog,
+    AlignerContext.cpp:122-123 / DataReader.h:136-137): where wall time goes
+    between reading input, waiting on the device, and writing output."""
+    read_s: float = 0.0
+    device_s: float = 0.0
+    write_s: float = 0.0
+
+    def summary(self) -> str:
+        return (f"wait profile: read {self.read_s:.2f}s, "
+                f"device {self.device_s:.2f}s, write {self.write_s:.2f}s")
