@@ -86,6 +86,9 @@ def _add_align_flags(p: argparse.ArgumentParser, paired: bool):
                    help="contamination database directory")
     p.add_argument("-pf", dest="perf_file", default=None,
                    help="append a run-speed TSV row to this file")
+    p.add_argument("-S", dest="suppress", default="",
+                   help="suppress sorted-BAM extras: i=index, d=duplicate "
+                        "marking (e.g. -S id)")
     p.add_argument("-sm", dest="sort_memory_gb", type=float, default=0.0,
                    help="accepted for compatibility; sorting here streams "
                         "through a fixed-size spill buffer")
@@ -214,7 +217,7 @@ def cmd_single(argv):
                           misalign_threshold=a.misalign_threshold,
                           min_phred=a.min_phred,
                           min_percent_above_phred=a.min_percent,
-                          phred_offset=a.phred_offset)
+                          phred_offset=a.phred_offset, suppress=a.suppress)
     cmdline = "snap-rna-tpu single " + " ".join(pos + flags)
     aligner_kw = dict(num_seeds=a.num_seeds, seed_coverage=a.seed_coverage,
                       extra_search_depth=a.extra_search_depth,
@@ -269,7 +272,8 @@ def cmd_paired(argv):
         min_spacing=a.spacing[0], max_spacing=a.spacing[1],
         sorted_output=a.sorted_output, pass_filter=a.pass_filter,
         misalign_threshold=a.misalign_threshold, min_phred=a.min_phred,
-        min_percent_above_phred=a.min_percent, phred_offset=a.phred_offset)
+        min_percent_above_phred=a.min_percent, phred_offset=a.phred_offset,
+        suppress=a.suppress)
     cmdline = "snap-rna-tpu paired " + " ".join(pos + flags)
     for max_hits, max_dist in _sweep(a):
         if transcriptome_dir is None:

@@ -129,12 +129,22 @@ class RecordOutput:
 
     For BAM the header blob must be the *uncompressed* BAM header block; for
     SAM it's the text header.
+
+    bam_finalize (sorted BAM only): dict(path, n_refs, mark_duplicates,
+    build_index) — at close the merged record stream gets coordinate
+    duplicates flagged (0x400) and a .bai built from the deterministic BGZF
+    block layout (the reference's markDuplicates/bamIndex DataWriter
+    filters, DataWriter.h:133-152).
     """
 
-    def __init__(self, sink, header_blob: bytes, sorted_output: bool):
+    def __init__(self, sink, header_blob: bytes, sorted_output: bool,
+                 bam_finalize: dict | None = None):
         self._sink = sink
         self._sorted = _SortedSpill() if sorted_output else None
-        sink.write(header_blob)
+        self._bam_finalize = bam_finalize if sorted_output else None
+        self._header_blob = header_blob
+        if self._bam_finalize is None:
+            sink.write(header_blob)
 
     def write_record(self, key: int, blob: bytes):
         if self._sorted is not None:
@@ -147,21 +157,84 @@ class RecordOutput:
         self.write_record(UNMAPPED_KEY, blob)
 
     def close(self):
+        if self._bam_finalize is not None:
+            self._close_bam_finalize()
+            return
         if self._sorted is not None:
             for blob in self._sorted.merge():
                 self._sink.write(blob)
         self._sink.close()
 
+    def _close_bam_finalize(self):
+        import struct
+        from .bai import (BaiBuilder, bam_record_span, set_bam_flag,
+                          virtual_offset, walk_bgzf_blocks)
+        fin = self._bam_finalize
+        blobs = list(self._sorted.merge())
+
+        if fin.get("mark_duplicates"):
+            # coordinate duplicates: same (ref, pos, strand, mate ref/pos)
+            # after the first stay flagged 0x400 (the markDuplicates filter)
+            seen = set()
+            for i, blob in enumerate(blobs):
+                ref_id, pos = struct.unpack_from("<ii", blob, 4)
+                flag = struct.unpack_from("<H", blob, 18)[0]
+                if ref_id < 0 or flag & 0x4:
+                    continue
+                next_ref, next_pos = struct.unpack_from("<ii", blob, 24)
+                key = (ref_id, pos, flag & 0x10, next_ref, next_pos)
+                if key in seen:
+                    blobs[i] = set_bam_flag(blob, 0x400)
+                else:
+                    seen.add(key)
+
+        header_z = native.bgzf_compress(self._header_blob)
+        body = bytearray()
+        offsets = []
+        for blob in blobs:
+            offsets.append(len(body))
+            body += blob
+        body_z = native.bgzf_compress(bytes(body))
+        raw = self._sink._f if hasattr(self._sink, "_f") else None
+        raw.write(header_z)
+        raw.write(body_z)
+        raw.write(native.BGZF_EOF)
+        raw.close()
+
+        if fin.get("build_index"):
+            block_offs = walk_bgzf_blocks(body_z)
+            bai = BaiBuilder(fin["n_refs"])
+            base = len(header_z)
+            for blob, uoff in zip(blobs, offsets):
+                ref_id, pos, end, flag = bam_record_span(blob)
+                if ref_id < 0:
+                    continue
+                v0 = virtual_offset(uoff, block_offs, base)
+                v1 = virtual_offset(uoff + len(blob), block_offs, base) \
+                    if uoff + len(blob) < len(body) else \
+                    ((base + block_offs[-1]) << 16) | (len(body) % 0xFF00)
+                bai.add(ref_id, pos, end, v0, v1)
+            bai.write(fin["path"] + ".bai")
+
 
 def open_output(path: str, genome: Genome, sam_header: bytes,
-                sorted_output: bool = False, compression_threads: int = 4):
-    """FileFormat dispatch: returns (RecordOutput, is_bam)."""
+                sorted_output: bool = False, compression_threads: int = 4,
+                mark_duplicates: bool = True, build_index: bool = True):
+    """FileFormat dispatch: returns (RecordOutput, is_bam).
+
+    Like the reference, sorted BAM output gets duplicate marking and a .bai
+    by default; `-S i`/`-S d` suppress them (AlignerOptions usage text)."""
     from .bam import make_bam_header_block
     lower = path.lower()
     if lower.endswith(".bam"):
         sink = _GzipSink(path, threads=compression_threads, bam_eof=True)
         header = make_bam_header_block(genome, sam_header)
-        return RecordOutput(sink, header, sorted_output), True
+        finalize = None
+        if sorted_output and (mark_duplicates or build_index):
+            finalize = dict(path=path, n_refs=genome.num_pieces,
+                            mark_duplicates=mark_duplicates,
+                            build_index=build_index)
+        return RecordOutput(sink, header, sorted_output, finalize), True
     if lower.endswith(".gz"):
         sink = _GzipSink(path, threads=compression_threads)
         return RecordOutput(sink, sam_header, sorted_output), False
@@ -170,7 +243,8 @@ def open_output(path: str, genome: Genome, sam_header: bytes,
 
 def make_output_and_builder(path: str, genome: Genome, *, sorted_output: bool,
                             use_m: bool, read_group: str | None,
-                            command_line: str):
+                            command_line: str, mark_duplicates: bool = True,
+                            build_index: bool = True):
     """One-stop output setup: header + format dispatch + record builder.
 
     Returns (RecordOutput, SamRecordBuilder-or-BamRecordBuilder).
@@ -180,6 +254,8 @@ def make_output_and_builder(path: str, genome: Genome, *, sorted_output: bool,
     header = make_header(genome, sorted_output=sorted_output,
                          command_line=command_line)
     writer, is_bam = open_output(path, genome, header,
-                                 sorted_output=sorted_output)
+                                 sorted_output=sorted_output,
+                                 mark_duplicates=mark_duplicates,
+                                 build_index=build_index)
     cls = BamRecordBuilder if is_bam else SamRecordBuilder
     return writer, cls(genome, use_m=use_m, read_group=read_group)

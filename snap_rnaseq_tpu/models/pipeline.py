@@ -44,6 +44,7 @@ class PipelineOptions:
     min_phred: int = 20                  # -fm
     min_percent_above_phred: float = 90.0  # -fp
     phred_offset: int = 33               # -fo
+    suppress: str = ""                   # -S: i=bam index, d=dup marking
 
     def quality_ok(self, read) -> bool:
         return quality_filter(read, self.min_percent_above_phred,
@@ -67,7 +68,9 @@ class SingleEndPipeline:
         out, builder = make_output_and_builder(
             out_path, self.index.genome, sorted_output=opt.sorted_output,
             use_m=opt.use_m, read_group=opt.read_group,
-            command_line=command_line)
+            command_line=command_line,
+            mark_duplicates="d" not in opt.suppress,
+            build_index="i" not in opt.suppress)
         try:
             buckets: dict[int, list] = defaultdict(list)
             t0 = time.time()

@@ -117,7 +117,9 @@ class RnaSingleEndPipeline(_RnaBase):
         out, builder = make_output_and_builder(
             out_path, genome, sorted_output=opt.sorted_output,
             use_m=opt.use_m, read_group=opt.read_group,
-            command_line=command_line)
+            command_line=command_line,
+            mark_duplicates="d" not in opt.suppress,
+            build_index="i" not in opt.suppress)
         try:
             buckets = defaultdict(list)
             t0 = time.time()
@@ -233,7 +235,9 @@ class RnaPairedEndPipeline(_RnaBase):
         out, builder = make_output_and_builder(
             out_path, genome, sorted_output=opt.sorted_output,
             use_m=opt.use_m, read_group=opt.read_group,
-            command_line=command_line)
+            command_line=command_line,
+            mark_duplicates="d" not in opt.suppress,
+            build_index="i" not in opt.suppress)
         try:
             buckets = defaultdict(list)
             t0 = time.time()

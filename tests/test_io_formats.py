@@ -6,6 +6,7 @@ Models the reference's filetest.py I/O matrix ({FQ,FQZ,SAM,BAM} x
 """
 import gzip
 import io
+import os
 
 import numpy as np
 import pytest
@@ -123,3 +124,45 @@ def test_compute_roc(tmp_path):
     counts, errors = compute_roc(str(tmp_path), str(p))
     assert counts[60] == 1 and errors[60] == 0
     assert counts[40] == 1 and errors[40] == 1
+
+
+def test_sorted_bam_dupmark_and_index(tmp_path):
+    from snap_rnaseq_tpu.io.writers import open_output
+    from snap_rnaseq_tpu.io.bai import BAI_MAGIC
+    genome = genome_from_codes(np.zeros(100000, np.uint8), name="chr1")
+    header = make_header(genome, sorted_output=True)
+    path = str(tmp_path / "dup.bam")
+    writer, is_bam = open_output(path, genome, header, sorted_output=True)
+    assert is_bam
+
+    def rec(name, pos, flag=0):
+        return pack_bam_record(name, flag, 0, pos, 60, [(8, "=")], -1, -1, 0,
+                               b"ACGTACGT", b"IIIIIIII", pack_aux(None, None, 0))
+    # out-of-order writes; two records at pos 500 (same strand) = duplicates
+    writer.write_record(700, rec(b"c", 700))
+    writer.write_record(500, rec(b"a", 500))
+    writer.write_record(500, rec(b"b", 500))
+    writer.write_record(500, rec(b"d", 500, flag=0x10))   # other strand: kept
+    writer.close()
+
+    recs = list(bam_records(path))
+    assert [r["qname"] for r in recs] == [b"a", b"b", b"d", b"c"]
+    flags = {r["qname"]: r["flag"] for r in recs}
+    assert flags[b"a"] & 0x400 == 0
+    assert flags[b"b"] & 0x400            # duplicate of a
+    assert flags[b"d"] & 0x400 == 0       # reverse strand, not a duplicate
+    assert flags[b"c"] & 0x400 == 0
+    # .bai exists and is structurally sane
+    bai = open(path + ".bai", "rb").read()
+    assert bai[:4] == BAI_MAGIC
+    import struct as _s
+    assert _s.unpack_from("<i", bai, 4)[0] == 1   # one reference
+    # suppression: -S id -> no bai, no dup flags
+    path2 = str(tmp_path / "nodup.bam")
+    writer2, _ = open_output(path2, genome, header, sorted_output=True,
+                             mark_duplicates=False, build_index=False)
+    writer2.write_record(500, rec(b"a", 500))
+    writer2.write_record(500, rec(b"b", 500))
+    writer2.close()
+    assert not os.path.exists(path2 + ".bai")
+    assert all(r["flag"] & 0x400 == 0 for r in bam_records(path2))
