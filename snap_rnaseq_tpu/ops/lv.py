@@ -150,12 +150,23 @@ def _lv_distance_pallas(pattern, p_len, text, t_len, k, quality=None, *,
         qual_logp = jnp.full((B, P), PHRED_LOG_PROB[33 + 93], jnp.float32)
     else:
         qual_logp = jnp.asarray(PHRED_LOG_PROB)[quality.astype(jnp.int32)]
-    dist, e_fin, d_fin, log_prob, net_indel, L_all, A_all = \
-        lv_distance_pallas_core(
-            pattern.astype(jnp.int32), p_len.astype(jnp.int32), textp,
+    if keep_tables:
+        dist, e_fin, d_fin, log_prob, net_indel, L_all, A_all = \
+            lv_distance_pallas_core(
+                pattern.astype(jnp.int32), p_len.astype(jnp.int32), textp,
+                t_len.astype(jnp.int32), k, qual_logp,
+                e_max=e_max, cigar_order=cigar_order, keep_tables=True,
+                interpret=interpret)
+    else:
+        # hot path: candidates-on-lanes layout, no tables
+        from .lv_pallas import lv_distance_pallas_lanes
+        dist, e_fin, d_fin, log_prob, net_indel = lv_distance_pallas_lanes(
+            pattern, p_len.astype(jnp.int32), textp,
             t_len.astype(jnp.int32), k, qual_logp,
-            e_max=e_max, cigar_order=cigar_order, keep_tables=keep_tables,
-            interpret=interpret)
+            e_max=e_max, cigar_order=cigar_order, interpret=interpret)
+        D0 = 2 * e_max + 1
+        L_all = jnp.zeros((B, 1, D0), jnp.int32)
+        A_all = jnp.zeros((B, 1, D0), jnp.int32)
 
     start_run = L_all[:, 0, e_max]
     D = 2 * e_max + 1

@@ -321,3 +321,235 @@ def lv_distance_pallas_core(pattern, p_len, textp, t_len, k, qual_logp, *,
 
     return (dist[:B, 0], e_fin[:B, 0], d_fin[:B, 0], logp[:B, 0],
             net[:B, 0], L_all[:B], A_all[:B])
+
+
+# ---------------------------------------------------------------------------
+# candidates-on-lanes variant (the hot, no-tables path)
+#
+# The tile layout above keeps per-candidate state as (T, D) rows: with
+# D = 2*e_max+1 diagonals only D of 128 lanes do work.  This variant
+# transposes everything: diagonals ride the sublane axis, CANDIDATES ride
+# the lane axis (like ops/bitpar.py), so every vector op advances a full
+# lane tile.  Tables are not emitted — the CIGAR path keeps the row layout.
+# ---------------------------------------------------------------------------
+
+def lv_lanes_tile(e_max: int) -> int:
+    """Lane-tile size bounded by the (D, P, C) int32 temporaries in VMEM."""
+    D = 2 * e_max + 1
+    return 128 if D > 16 else 256
+
+
+def _lv_kernel_lanes(prio_ref, pattern_ref, p_len_ref, text_ref, t_len_ref,
+                     k_ref, qlp_ref, dist_ref, e_fin_ref, d_fin_ref,
+                     logp_ref, net_ref, nextmm_ref,
+                     *, e_max: int, P: int, cigar_order: bool):
+    D = 2 * e_max + 1
+    C = dist_ref.shape[1]
+
+    pattern = pattern_ref[...]                        # (P, C) i32
+    p_len = p_len_ref[...]                            # (1, C) i32
+    t_len = t_len_ref[...]
+    k = jnp.minimum(k_ref[...], e_max)
+    textp = text_ref[...]                             # (TXT, C) i32
+    qual_logp = qlp_ref[...]                          # (P, C) f32
+    TXT = textp.shape[0]
+
+    tpos = jax.lax.broadcasted_iota(jnp.int32, (TXT, C), 0) - e_max
+    textp = jnp.where(tpos < t_len, textp, jnp.int32(255))
+
+    # per-diagonal next-mismatch columns (P, C), via the scratch ref
+    pos2 = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+    for d in range(D):
+        tsl = pltpu.roll(textp, (TXT - d) % TXT, 0)[:P, :]
+        mm2 = jnp.where(tsl == pattern, jnp.int32(P), pos2)
+        # suffix min along sublanes (axis 0)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+        s = 1
+        while s < P:
+            rolled = pltpu.roll(mm2, P - s, 0)
+            shifted = jnp.where(lane0 >= P - s, jnp.int32(32767), rolled)
+            mm2 = jnp.minimum(mm2, shifted)
+            s *= 2
+        nextmm_ref[d, :, :] = mm2
+    nextmm = nextmm_ref[...]                          # (D, P, C)
+
+    pos3 = jax.lax.broadcasted_iota(jnp.int32, (D, P, C), 1)
+    d_vals = jax.lax.broadcasted_iota(jnp.int32, (D, C), 0) - e_max
+    end_d = jnp.minimum(jnp.broadcast_to(p_len, (D, C)), t_len - d_vals)
+
+    def extend(best):
+        gb = jnp.clip(best, 0, P - 1)
+        onehot = pos3 == gb[:, None, :]
+        ext = jnp.max(jnp.where(onehot, nextmm, -16384), axis=1)
+        ext = jnp.where(best >= P, best, ext)
+        ext = jnp.minimum(ext, end_d)
+        return jnp.maximum(best, jnp.where(best >= 0, ext, best))
+
+    end0 = jnp.minimum(p_len, t_len)                  # (1, C)
+    first_mm = jnp.minimum(nextmm[e_max, 0:1, :], end0)
+    L = jnp.where(d_vals == 0, jnp.broadcast_to(first_mm, (D, C)),
+                  jnp.int32(-2))
+
+    perfect = first_mm >= end0                        # (1, C)
+    perfect_dist = jnp.maximum(p_len - end0, 0)
+    perfect_ok = perfect & (perfect_dist <= k)
+
+    done = perfect
+    dist = jnp.where(perfect_ok, perfect_dist, -1)
+    e_fin = jnp.zeros((1, C), jnp.int32)
+    d_fin = jnp.zeros((1, C), jnp.int32)
+
+    prio = prio_ref[...]                              # (D, 1)
+    abs_d = jnp.abs(d_vals)
+    diag0 = jax.lax.broadcasted_iota(jnp.int32, (D, C), 0)
+
+    Ls = [L]
+    As = [jnp.zeros((D, C), jnp.int32)]
+    for e in range(1, e_max + 1):
+        up = L + 1
+        left = jnp.where(diag0 == 0, jnp.int32(-2), pltpu.roll(L, 1, 0))
+        right = jnp.where(diag0 == D - 1, jnp.int32(-1),
+                          pltpu.roll(L, D - 1, 0) + 1)
+        best = up
+        act = jnp.full((D, C), ACT_X, jnp.int32)
+        better_l = left > best
+        best = jnp.where(better_l, left, best)
+        act = jnp.where(better_l, ACT_D, act)
+        better_r = right > best
+        best = jnp.where(better_r, right, best)
+        act = jnp.where(better_r, ACT_I, act)
+
+        in_band = abs_d <= e
+        best = extend(best)
+        best = jnp.where(in_band, best, -2)
+
+        hit = in_band & (best >= p_len) & jnp.broadcast_to(e <= k, (D, C))
+        any_hit = hit.any(axis=0, keepdims=True) & ~done
+        rank = jnp.where(hit, jnp.broadcast_to(prio, (D, C)),
+                         jnp.int32(2 * e_max + 2))
+        win = jnp.min(rank * D + diag0, axis=0, keepdims=True) % D
+
+        new_done = done | any_hit | (e >= k)
+        dist = jnp.where(any_hit, e, dist)
+        e_fin = jnp.where(any_hit, e, e_fin)
+        d_fin = jnp.where(any_hit, win - e_max, d_fin)
+
+        L = jnp.where(done, L, best)
+        done = new_done
+        Ls.append(L)
+        As.append(act)
+
+    # fused probability backtrace, lanes layout
+    def gather_diag(X, idx):
+        sel = diag0 == jnp.clip(idx + e_max, 0, D - 1)
+        return jnp.sum(jnp.where(sel, X, 0), axis=0, keepdims=True)
+
+    cur_d = d_fin
+    acts_bt = [None] * (e_max + 1)
+    matched_bt = [None] * (e_max + 1)
+    for e in range(e_max, 0, -1):
+        active = (e <= e_fin) & (e_fin > 0)
+        act = gather_diag(As[e], cur_d)
+        L_here = gather_diag(Ls[e], cur_d)
+        m_I = L_here - gather_diag(Ls[e - 1], cur_d + 1) - 1
+        m_D = L_here - gather_diag(Ls[e - 1], cur_d - 1)
+        m_X = L_here - gather_diag(Ls[e - 1], cur_d) - 1
+        matched = jnp.where(act == ACT_I, m_I,
+                            jnp.where(act == ACT_D, m_D, m_X))
+        new_d = cur_d + jnp.where(act == ACT_I, 1,
+                                  jnp.where(act == ACT_D, -1, 0))
+        cur_d = jnp.where(active, new_d, cur_d)
+        acts_bt[e] = jnp.where(active, act, -1)
+        matched_bt[e] = jnp.where(active, matched, 0)
+
+    qmax = jnp.maximum(p_len - 1, 0)
+    piota = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+    offset = gather_diag(Ls[0], jnp.zeros((1, C), jnp.int32))
+    logp = jnp.zeros((1, C), jnp.float32)
+    net = jnp.zeros((1, C), jnp.int32)
+    prev_act = jnp.full((1, C), -1, jnp.int32)
+    run_open = jnp.zeros((1, C), jnp.int32)
+    for e in range(1, e_max + 1):
+        act = acts_bt[e]
+        m = matched_bt[e]
+        active = (e <= e_fin) & (e_fin > 0)
+        cont = (run_open == 1) & (act == prev_act)
+        is_indel = (act == ACT_I) | (act == ACT_D)
+        indel_log = jnp.where(cont, LOG_GAP_EXTEND, LOG_GAP_OPEN)
+        diff = jnp.abs(piota - jnp.clip(offset, 0, qmax))
+        onehot_f = (1 - jnp.minimum(diff, 1)).astype(jnp.float32)
+        q_at = jnp.sum(qual_logp * onehot_f, axis=0, keepdims=True)
+        add = jnp.where(is_indel, indel_log, q_at)
+        logp = jnp.where(active, logp + add, logp)
+        delta = jnp.where(act == ACT_I, 1, jnp.where(act == ACT_D, -1, 1))
+        offset = jnp.where(active, offset + delta, offset)
+        net = jnp.where(active & (act == ACT_I), net + 1,
+                        jnp.where(active & (act == ACT_D), net - 1, net))
+        offset = jnp.where(active, offset + m, offset)
+        run_open = jnp.where(active, (m == 0).astype(jnp.int32), run_open)
+        prev_act = jnp.where(active, act, prev_act)
+
+    logp = logp + (p_len - e_fin).astype(jnp.float32) * LOG_ONE_MINUS_SNP
+    logp = jnp.where(dist >= 0, logp, NEG_INF)
+    net = jnp.where(perfect, 0, net)
+
+    dist_ref[...] = dist
+    e_fin_ref[...] = e_fin
+    d_fin_ref[...] = d_fin
+    logp_ref[...] = logp
+    net_ref[...] = net
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("e_max", "cigar_order", "interpret"))
+def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp, *,
+                             e_max: int, cigar_order: bool = False,
+                             interpret: bool = False):
+    """Lanes-layout core: returns (dist, e_fin, d_fin, logp, net).
+
+    Same contract as lv_distance_pallas_core minus the L/A tables; inputs
+    are the untransposed (B, ...) arrays — transposition happens here.
+    """
+    B, P = pattern.shape
+    TXT = textp.shape[1]
+    D = 2 * e_max + 1
+    C = lv_lanes_tile(e_max)
+    Bp = ((B + C - 1) // C) * C
+    if Bp != B:
+        pad = Bp - B
+        pattern = jnp.pad(pattern, ((0, pad), (0, 0)))
+        textp = jnp.pad(textp, ((0, pad), (0, 0)), constant_values=255)
+        p_len = jnp.pad(p_len, (0, pad))
+        t_len = jnp.pad(t_len, (0, pad))
+        k = jnp.pad(k, (0, pad))
+        qual_logp = jnp.pad(qual_logp, ((0, pad), (0, 0)))
+    grid = (Bp // C,)
+
+    prio = jnp.asarray(_d_order(e_max, cigar_order))[:, None]    # (D, 1)
+    kernel = functools.partial(_lv_kernel_lanes, e_max=e_max, P=P,
+                               cigar_order=cigar_order)
+    row = lambda: pl.BlockSpec((1, C), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((1, Bp), jnp.float32 if j == 3 else jnp.int32)
+        for j in range(5))
+    dist, e_fin, d_fin, logp, net = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, C), lambda i: (0, i), memory_space=pltpu.VMEM),
+            row(),
+            pl.BlockSpec((TXT, C), lambda i: (0, i), memory_space=pltpu.VMEM),
+            row(), row(),
+            pl.BlockSpec((P, C), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row(), row(), row(), row(), row()),
+        scratch_shapes=[pltpu.VMEM((D, P, C), jnp.int32)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(prio, pattern.astype(jnp.int32).T, p_len[None, :].astype(jnp.int32),
+      textp.astype(jnp.int32).T, t_len[None, :].astype(jnp.int32),
+      k[None, :].astype(jnp.int32), qual_logp.astype(jnp.float32).T)
+
+    return (dist[0, :B], e_fin[0, :B], d_fin[0, :B], logp[0, :B], net[0, :B])

@@ -84,3 +84,30 @@ def test_pallas_perfect_and_overflow():
                                   np.asarray(ref.distance))
     np.testing.assert_allclose(np.asarray(got.log_prob),
                                np.asarray(ref.log_prob), rtol=1e-5)
+
+
+def test_lanes_kernel_parity():
+    """Candidates-on-lanes kernel vs the jax path (hot-path contract:
+    distance/e_fin/d_fin/log_prob/net_indel only)."""
+    from snap_rnaseq_tpu.ops.lv_pallas import lv_distance_pallas_lanes
+    import jax.numpy as _j
+    rng = np.random.default_rng(21)
+    e_max = 4
+    B, P = 16, 32
+    args = _random_cases(rng, B, P, e_max)
+    ref = _lv_distance_jax(*args, e_max=e_max, keep_tables=False)
+    pattern, p_len, text, t_len, k, quals = args
+    textp = _j.concatenate(
+        [_j.full((B, e_max), 255, _j.int32), text.astype(_j.int32),
+         _j.full((B, e_max + P), 255, _j.int32)], axis=1)
+    from snap_rnaseq_tpu.ops.lv import PHRED_LOG_PROB
+    qlp = _j.asarray(PHRED_LOG_PROB)[quals.astype(_j.int32)]
+    dist, e_fin, d_fin, logp, net = lv_distance_pallas_lanes(
+        pattern, p_len, textp, t_len, _j.minimum(k, e_max), qlp,
+        e_max=e_max, interpret=True)
+    np.testing.assert_array_equal(np.asarray(dist), np.asarray(ref.distance))
+    np.testing.assert_array_equal(np.asarray(e_fin), np.asarray(ref.e_final))
+    np.testing.assert_array_equal(np.asarray(d_fin), np.asarray(ref.d_final))
+    np.testing.assert_array_equal(np.asarray(net), np.asarray(ref.net_indel))
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(ref.log_prob),
+                               rtol=1e-5, atol=1e-5)
