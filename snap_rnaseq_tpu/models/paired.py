@@ -54,6 +54,7 @@ class PairedAlignerConfig:
     max_seed_slots: int = 32
     force_spacing: bool = False
     score_budget_per_read: int = 16
+    compact_per_read: int = 32
 
     @property
     def e_max(self) -> int:
@@ -67,7 +68,8 @@ class PairedAlignerConfig:
             extra_search_depth=self.extra_search_depth,
             cand_per_read=self.cand_per_read,
             max_seed_slots=self.max_seed_slots,
-            score_budget_per_read=self.score_budget_per_read)
+            score_budget_per_read=self.score_budget_per_read,
+            compact_per_read=self.compact_per_read)
 
 
 def _dense_per_read(u, sc, in_prob_flags, B, K):
@@ -167,6 +169,8 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
         cands = sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
                                 seed_len, read_len, ecfg.cand_per_read)
         u = sg.aggregate_phase(cands)
+        if ecfg.compact_per_read > 0:
+            u, _ = sg.compact_phase(u, B, ecfg)
         if ecfg.score_budget_per_read > 0:
             sc = sg.filtered_score_phase(u, reads, quals, genome_p4,
                                          piece_starts, ecfg, seed_len,

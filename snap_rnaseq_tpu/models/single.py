@@ -73,6 +73,10 @@ class SingleAlignerConfig:
     # full LV scoring, per read (average, pooled across the batch); 0
     # disables the prefilter/compaction and scores every candidate slot
     score_budget_per_read: int = 16
+    # unique candidates kept after aggregation (live-first compaction, per
+    # read pooled); expansion slots are mostly duplicate hits of the same
+    # location, so downstream phases shrink ~CPR/this; 0 disables
+    compact_per_read: int = 32
 
     @property
     def e_max(self) -> int:
@@ -304,6 +308,24 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
                      NEG_INF)
     loc_adj = jnp.where(scored_ok, loc_c + r2.net_indel, loc_c)
     return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok)
+
+
+def compact_phase(u, B, cfg):
+    """Live-first stable compaction of the aggregated candidate array.
+
+    After aggregate_phase only one slot per unique (read, dir, loc) is live;
+    the rest are duplicate seed hits.  A stable sort on liveness preserves
+    the (read, dir, loc) order of the live prefix, so the cluster-adjacency
+    logic in replay_phase sees the same gaps; dropped live overflow beyond
+    the pooled budget is counted like the reference's candidate-pool cap.
+    """
+    C = u["read"].shape[0]
+    CB = min(B * cfg.compact_per_read, C)
+    order = jnp.argsort(jnp.where(u["live"], 0, 1), stable=True)
+    take = order[:CB]
+    out = {k: v[take] for k, v in u.items()}
+    overflow = jnp.maximum(u["live"].sum() - CB, 0)
+    return out, overflow
 
 
 def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
@@ -547,6 +569,9 @@ def _align_batch(reads, quals,
     cands = expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
                          read_len, cfg.cand_per_read)
     u = aggregate_phase(cands)
+    compact_overflow = jnp.int32(0)
+    if cfg.compact_per_read > 0:
+        u, compact_overflow = compact_phase(u, B, cfg)
     if cfg.score_budget_per_read > 0:
         sc = filtered_score_phase(u, reads, quals, genome_p4,
                                   piece_starts, cfg, seed_len, read_len,
@@ -556,7 +581,8 @@ def _align_batch(reads, quals,
                          seed_len, read_len, genome_size)
     out = replay_phase(u, sc, budget, reads, B, S, cfg)
     out["truncated"] = cands["truncated"]
-    out["score_overflow"] = sc.get("score_overflow", jnp.int32(0))
+    out["score_overflow"] = sc.get("score_overflow", jnp.int32(0)) + \
+        compact_overflow
     out["n_lookups"] = seeds["found"].sum()
     return out
 
