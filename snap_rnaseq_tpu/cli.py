@@ -237,6 +237,8 @@ def cmd_single(argv):
                 max_k=max_dist, max_hits=max_hits, **aligner_kw)
             stats = pipe.run(fastq, a.output, command_line=cmdline)
         print(stats.summary())
+        if hasattr(pipe, "wait"):
+            print(pipe.wait.summary())
         if a.compute_error:
             print(stats.roc_table())
         _append_perf(a.perf_file, f"single d={max_dist} h={max_hits}", stats)
@@ -294,6 +296,8 @@ def cmd_paired(argv):
                 extra_search_depth=a.extra_search_depth)
             stats = pipe.run(fq1, fq2, a.output, command_line=cmdline)
         print(stats.summary())
+        if hasattr(pipe, "wait"):
+            print(pipe.wait.summary())
         if a.compute_error:
             print(stats.roc_table())
         _append_perf(a.perf_file, f"paired d={max_dist} h={max_hits}", stats)

@@ -20,7 +20,7 @@ from ..io.readers import open_paired_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
 from ..io.sam import NOT_FOUND, passes_filter
 from ..io.writers import make_output_and_builder
-from ..utils.stats import PairedAlignerStats
+from ..utils.stats import PairedAlignerStats, WaitProfile
 from ..utils.wgsim import wgsim_misaligned
 from .paired import PairedAligner, PairedAlignerConfig
 
@@ -58,6 +58,7 @@ class PairedEndPipeline:
                                      max_spacing=self.opt.max_spacing,
                                      **aligner_overrides)
         self.stats = PairedAlignerStats()
+        self.wait = WaitProfile()
 
     def run(self, fq0: str, fq1: str, out_path: str,
             command_line: str = "snap-rna-tpu"):
@@ -118,7 +119,9 @@ class PairedEndPipeline:
                     drain(*pending.pop(0))
 
             def drain(pairs, out_dev):
+                td = time.time()
                 res = {k: np.asarray(v) for k, v in out_dev.items()}
+                self.wait.device_s += time.time() - td
                 stats.truncated_candidates += int(
                     (res["truncated0"] > 0).sum() + (res["truncated1"] > 0).sum())
                 for i, (r0, r1) in enumerate(pairs):
@@ -129,7 +132,9 @@ class PairedEndPipeline:
                               int(res["dir1"][i]), int(res["mapq1"][i]),
                               bool(res["pair_found"][i]),
                               int(res["pair_score"][i]))
+                tw = time.time()
                 builder.flush(out)
+                self.wait.write_s += time.time() - tw
 
             for r0, r1 in open_paired_read_supplier(fq0, fq1):
                 stats.total_reads += 2

@@ -25,7 +25,7 @@ from ..io.readers import open_multi_read_supplier, open_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
 from ..io.sam import NOT_FOUND, passes_filter
 from ..io.writers import make_output_and_builder
-from ..utils.stats import AlignerStats
+from ..utils.stats import AlignerStats, WaitProfile
 from ..utils.wgsim import wgsim_misaligned
 from .single import SingleAligner, SingleAlignerConfig
 
@@ -60,6 +60,7 @@ class SingleEndPipeline:
         self.aligner = SingleAligner(index, aligner_config, **aligner_overrides)
         self.opt = options or PipelineOptions()
         self.stats = AlignerStats()
+        self.wait = WaitProfile()
 
     def run(self, fastq_path: str, out_path: str, command_line: str = "snap-rna-tpu"):
         opt = self.opt
@@ -92,7 +93,9 @@ class SingleEndPipeline:
                     drain(*pending.pop(0))
 
             def drain(reads, out_dev):
+                td = time.time()
                 res = {k: np.asarray(v) for k, v in out_dev.items()}
+                self.wait.device_s += time.time() - td
                 stats.lv_calls += int(res["n_lookups"])
                 stats.popular_skipped += int(res["popular"].sum())
                 stats.truncated_candidates += int((res["truncated"] > 0).sum())
@@ -117,7 +120,9 @@ class SingleEndPipeline:
                         builder.add(r, result,
                                     loc if result != NOT_FOUND else -1,
                                     direction, mapq)
+                tw = time.time()
                 builder.flush(out)
+                self.wait.write_s += time.time() - tw
 
             supplier = (open_multi_read_supplier(fastq_path)
                         if isinstance(fastq_path, (list, tuple))
