@@ -198,7 +198,9 @@ def aggregate_phase(c):
     + element stats (weight, creation bound, last order; element = 48-wide
     bucket, BaseAligner.h:196-226)."""
     C = c["read"].shape[0]
-    perm = jnp.lexsort((c["order"], c["loc"], c["dir"], c["read"]))
+    # pack (read, dir) into one key: one fewer stable bitonic pass
+    rd = c["read"] * 2 + c["dir"]
+    perm = jnp.lexsort((c["order"], c["loc"], rd))
     r_, d_, l_ = c["read"][perm], c["dir"][perm], c["loc"][perm]
     o_, off_, lp_ = c["order"][perm], c["offset"][perm], c["lp"][perm]
     rd_, live_ = c["round"][perm], c["live"][perm]
@@ -236,7 +238,8 @@ def aggregate_phase(c):
 
 
 def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
-                read_len, genome_size, band: int | None = None):
+                read_len, genome_size, band: int | None = None,
+                window: jnp.ndarray | None = None):
     """Two batched LV calls per unique candidate; log-space probabilities.
 
     Matches the scoring block of BaseAligner.cpp:1150-1260 including the
@@ -271,34 +274,31 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     text_len = jnp.where(crosses, end_off - loc_c - 1, want)
     data_ok = text_len >= read_len - MAX_K
 
-    arp = jnp.arange(read_len, dtype=jnp.int32)
-    rows = jnp.arange(C)[:, None]
-    want = read_len + MAX_K
-
-    fwd_text = gather_windows(genome_p4, loc_c + tail, width=want)
-    fwd_tlen = jnp.maximum(text_len - tail, 0)
-    ridx = jnp.clip(tail[:, None] + arp[None, :], 0, read_len - 1)
+    # FREE-PREFIX formulation: both LV calls run on the FULL read row with
+    # the pre-seed (head) / post-seed (tail) prefix marked free, so no
+    # per-candidate pattern/quality gathers are needed, and both text
+    # windows are slices of ONE shared genome window
+    # [loc - MAX_K, loc + read_len + MAX_K).  Equivalent to the suffix
+    # formulation: the free prefix shifts every DP value by the prefix
+    # length and contributes no probability (ops/lv.py `free`).
     sel = read_both[u["read"], u["dir"]]
     selq = qual_both[u["read"], u["dir"]]
-    fwd_pat = sel[rows, ridx]
-    fwd_qual = selq[rows, ridx]
-    fwd_plen = read_len - tail
+    if window is None:
+        window = gather_windows(genome_p4, loc_c - MAX_K,
+                                width=read_len + 2 * MAX_K)
+    fwd_text = window[:, MAX_K:]
+    bwd_text = jnp.flip(window[:, :read_len + MAX_K], axis=1)
+    plen_full = jnp.full((C,), read_len, jnp.int32)
 
     kvec = jnp.where(u["live"] & data_ok, e_max, 0).astype(jnp.int32)
-    r1 = lv_distance(fwd_pat, fwd_plen, fwd_text, fwd_tlen, kvec,
-                     fwd_qual, e_max=e_max)
+    r1 = lv_distance(sel, plen_full, fwd_text, text_len, kvec,
+                     selq, free=tail, e_max=e_max)
 
-    bidx = jnp.clip(so[:, None] - 1 - arp[None, :], 0, read_len - 1)
-    bwd_pat = sel[rows, bidx]
-    bwd_qual = selq[rows, bidx]
-    # backward text = forward window ending at loc+so, flipped; starts in
-    # the leading chromosome padding clamp to code-5 pads (never match),
-    # same effect as the old per-element clip-to-zero
-    bwd_text = jnp.flip(
-        gather_windows(genome_p4, loc_c + so - want, width=want), axis=1)
-    bwd_tlen = jnp.minimum(so + MAX_K, loc_c + so)
-    r2 = lv_distance(bwd_pat, so, bwd_text, bwd_tlen, kvec,
-                     bwd_qual, e_max=e_max)
+    rsel = sel[:, ::-1]
+    rselq = selq[:, ::-1]
+    bwd_tlen = (read_len - so) + jnp.minimum(so + MAX_K, loc_c + so)
+    r2 = lv_distance(rsel, plen_full, bwd_text, bwd_tlen, kvec,
+                     rselq, free=read_len - so, e_max=e_max)
 
     scored_ok = u["live"] & data_ok & (r1.distance >= 0) & (r2.distance >= 0) \
         & (r1.distance + r2.distance <= gate)
@@ -310,19 +310,32 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok)
 
 
+def stable_partition_indices(mask: jnp.ndarray, K: int) -> jnp.ndarray:
+    """First K indices of a stable true-first partition — a cumsum +
+    scatter instead of a sort (TPU sorts are bitonic and expensive)."""
+    C = mask.shape[0]
+    mask_i = mask.astype(jnp.int32)
+    pos_true = jnp.cumsum(mask_i) - 1
+    n_true = pos_true[-1] + 1
+    pos_false = n_true + jnp.cumsum(1 - mask_i) - 1
+    dest = jnp.where(mask, pos_true, pos_false)
+    inv = jnp.zeros(C, jnp.int32).at[dest].set(
+        jnp.arange(C, dtype=jnp.int32))
+    return inv[:K]
+
+
 def compact_phase(u, B, cfg):
     """Live-first stable compaction of the aggregated candidate array.
 
     After aggregate_phase only one slot per unique (read, dir, loc) is live;
-    the rest are duplicate seed hits.  A stable sort on liveness preserves
-    the (read, dir, loc) order of the live prefix, so the cluster-adjacency
+    the rest are duplicate seed hits.  A stable partition preserves the
+    (read, dir, loc) order of the live prefix, so the cluster-adjacency
     logic in replay_phase sees the same gaps; dropped live overflow beyond
     the pooled budget is counted like the reference's candidate-pool cap.
     """
     C = u["read"].shape[0]
     CB = min(B * cfg.compact_per_read, C)
-    order = jnp.argsort(jnp.where(u["live"], 0, 1), stable=True)
-    take = order[:CB]
+    take = stable_partition_indices(u["live"], CB)
     out = {k: v[take] for k, v in u.items()}
     overflow = jnp.maximum(u["live"].sum() - CB, 0)
     return out, overflow
@@ -351,8 +364,12 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     read_both = jnp.stack([reads, rc_reads], axis=1)
     sel = read_both[u["read"], u["dir"]]                      # (C, L)
 
+    # one shared window per candidate serves the prefilter AND both LV
+    # text slices downstream (score_phase's free-prefix formulation)
+    W = read_len + 2 * MAX_K
+    window = gather_windows(genome_p4, loc_c - MAX_K, width=W)
     want = read_len + e_max
-    text = gather_windows(genome_p4, loc_c, width=want)
+    text = window[:, MAX_K:MAX_K + want]
     t_len = jnp.full((C,), want, jnp.int32)
     wdist = bitpar_distance(sel, text, t_len, P=read_len)
 
@@ -378,12 +395,12 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
                            (keep2, min(max(B // 2, 256), C), e_max)):
         if band == e_max and e_max <= E1:
             continue    # bucket 2 empty when the full band is already small
-        order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
-        chosen = order[:SB]
+        chosen = stable_partition_indices(keep, SB)
         u_sub = {k: u[k][chosen] for k in ("read", "dir", "loc", "off", "live")}
         u_sub["live"] = u_sub["live"] & keep[chosen]
         sc_sub = score_phase(u_sub, reads, quals, genome_p4, piece_starts,
-                             cfg, seed_len, read_len, genome_size, band=band)
+                             cfg, seed_len, read_len, genome_size, band=band,
+                             window=window[chosen])
         score = score.at[chosen].set(
             jnp.where(u_sub["live"], sc_sub["score"], score[chosen]))
         logp = logp.at[chosen].set(
@@ -425,12 +442,23 @@ def replay_phase(u, sc, budget, reads, B, S, cfg: SingleAlignerConfig):
     in_play = scored_ok & (u_round <= r_star[u_read])
     score_f = jnp.where(in_play, score, BIG)
 
-    wperm = jnp.lexsort((u_order, -logp, score_f, u_read))
-    wread = u_read[wperm]
-    first_of_read = jnp.concatenate([jnp.ones(1, bool), wread[1:] != wread[:-1]])
-    winner_slot = jnp.zeros(B, jnp.int32).at[wread].max(
-        jnp.where(first_of_read, wperm, 0), mode="drop")
+    # winner per read by (score asc, logp desc, order asc, index asc) via
+    # three segment-min passes — no sort.  The f32 composite is exact for
+    # score <= 62 (1e6 steps dominate the clipped logp term), the same
+    # encoding the cluster selection below uses.
+    comp = jnp.where(score_f < BIG,
+                     score_f.astype(jnp.float32) * 1e6 - jnp.clip(logp, -1e5, 0),
+                     jnp.float32(3e12))
+    m1 = jax.ops.segment_min(comp, u_read, num_segments=B)
+    cand1 = comp <= m1[u_read]
+    m2 = jax.ops.segment_min(jnp.where(cand1, u_order, BIG), u_read,
+                             num_segments=B)
+    cand2 = cand1 & (u_order == m2[u_read])
+    winner_slot = jax.ops.segment_min(
+        jnp.where(cand2, jnp.arange(C, dtype=jnp.int32), BIG), u_read,
+        num_segments=B)
     has_best = jax.ops.segment_min(score_f, u_read, num_segments=B) < BIG
+    winner_slot = jnp.where(has_best, winner_slot, 0)
     best_score = score_f[winner_slot]
     best_loc = loc_adj[winner_slot]
     best_dir = u_dir[winner_slot]

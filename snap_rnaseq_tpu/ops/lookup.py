@@ -117,15 +117,22 @@ def lookup_seeds(packed: dict, ht_entries,
     hit0 = (k0 == key) & (v10 != _EMPTY)
     dead0 = (size <= 0) | ~valid
 
-    def cond(state):
-        done, *_ , n = state
-        return (~done).any() & (n < MAX_PROBES)
-
-    def body(state):
-        done, idx, slot_v1, slot_v2, n_probes, found, n = state
-        n_probes = jnp.where(done, n_probes, n_probes + 1)
-        step = jnp.where(n_probes < 5, n_probes * n_probes, 1)
+    # Phase 1: a few UNROLLED probe rounds over every lane — covers almost
+    # every seed at our load factor.  Phase 2 compacts the stragglers into a
+    # small dense array before the data-dependent loop, so long probe chains
+    # never drag full-batch gathers along (the TPU shape of the reference's
+    # per-seed probe loop, HashTable.h:74-105).
+    done = hit0 | dead0
+    found = hit0 & ~dead0
+    slot_v1 = jnp.where(hit0, v10, _UNUSED)
+    slot_v2 = jnp.where(hit0, v20, _UNUSED)
+    idx = idx0
+    n_probes = jnp.zeros_like(idx0)
+    UNROLLED = 4
+    for r in range(1, UNROLLED + 1):
+        step = jnp.int32(r * r) if r < 5 else jnp.int32(1)
         idx = jnp.where(done, idx, (idx + step) % size_safe)
+        n_probes = jnp.where(done, n_probes, n_probes + 1)
         kk, v1, v2 = gather(idx)
         is_hit = (kk == key) & (v1 != _EMPTY)
         is_end = (v1 == _EMPTY) | (n_probes > size + 5)
@@ -134,12 +141,60 @@ def lookup_seeds(packed: dict, ht_entries,
         slot_v1 = jnp.where(newly & is_hit, v1, slot_v1)
         slot_v2 = jnp.where(newly & is_hit, v2, slot_v2)
         done = done | newly
-        return done, idx, slot_v1, slot_v2, n_probes, found, n + 1
 
-    state0 = (hit0 | dead0, idx0, jnp.where(hit0, v10, _UNUSED),
-              jnp.where(hit0, v20, _UNUSED),
-              jnp.zeros_like(idx0), hit0 & ~dead0, jnp.int32(0))
-    done, _, v1, v2, _, found, _ = jax.lax.while_loop(cond, body, state0)
+    # Phase 2 on the compacted remainder
+    B, S = key.shape
+    BS = B * S
+    REM = max(256, BS // 16)
+    flat = lambda x: x.reshape(BS)
+    pending = ~flat(done)
+    # stable true-first partition via cumsum (no sort)
+    mask_i = pending.astype(jnp.int32)
+    pos_true = jnp.cumsum(mask_i) - 1
+    n_true = pos_true[-1] + 1
+    dest = jnp.where(pending, pos_true, n_true + jnp.cumsum(1 - mask_i) - 1)
+    inv = jnp.zeros(BS, jnp.int32).at[dest].set(
+        jnp.arange(BS, dtype=jnp.int32))
+    take = inv[:REM]
+
+    c_key = flat(key)[take]
+    c_idx = flat(idx)[take]
+    c_base = flat(base)[take]
+    c_size = flat(size_safe)[take]
+    c_n = flat(n_probes)[take]
+    c_done = flat(done)[take] | (jnp.arange(REM) >= n_true)
+    c_found = jnp.zeros(REM, bool)
+    c_v1 = jnp.full(REM, _UNUSED)
+    c_v2 = jnp.full(REM, _UNUSED)
+
+    def cond(state):
+        done_c, *_, n = state
+        return (~done_c).any() & (n < MAX_PROBES)
+
+    def body(state):
+        done_c, idx_c, v1_c, v2_c, np_c, found_c, n = state
+        np_c = jnp.where(done_c, np_c, np_c + 1)
+        step = jnp.where(np_c < 5, np_c * np_c, 1)
+        idx_c = jnp.where(done_c, idx_c, (idx_c + step) % c_size)
+        e = ht_entries[c_base + idx_c]
+        kk, v1, v2 = e[..., 0], e[..., 1], e[..., 2]
+        is_hit = (kk == c_key) & (v1 != _EMPTY)
+        is_end = (v1 == _EMPTY) | (np_c > c_size + 5)
+        newly = ~done_c & (is_hit | is_end)
+        found_c = jnp.where(newly & is_hit, True, found_c)
+        v1_c = jnp.where(newly & is_hit, v1, v1_c)
+        v2_c = jnp.where(newly & is_hit, v2, v2_c)
+        return done_c | newly, idx_c, v1_c, v2_c, np_c, found_c, n + 1
+
+    state0 = (c_done, c_idx, c_v1, c_v2, c_n, c_found,
+              jnp.int32(UNROLLED))
+    _, _, c_v1, c_v2, _, c_found, _ = jax.lax.while_loop(cond, body, state0)
+
+    found = flat(found).at[take].max(c_found).reshape(B, S)
+    v1 = flat(slot_v1).at[take].min(c_v1).reshape(B, S)
+    v2 = flat(slot_v2).at[take].min(c_v2).reshape(B, S)
+    # lanes that overflowed REM stay not-found (counted nowhere: REM is
+    # 1/16 of the batch, far above real straggler counts)
 
     fwd_val = jnp.where(found, jnp.where(fwd_smaller, v1, v2), _UNUSED)
     rc_val = jnp.where(found, jnp.where(fwd_smaller, v2, v1), _UNUSED)

@@ -114,24 +114,33 @@ def lv_distance(pattern: jnp.ndarray,
                 t_len: jnp.ndarray,
                 k: jnp.ndarray,
                 quality: jnp.ndarray | None = None,
+                free: jnp.ndarray | None = None,
                 *,
                 e_max: int,
                 cigar_order: bool = False,
                 keep_tables: bool = False) -> LVResult:
+    """free: optional (B,) per-row FREE PREFIX length — pattern positions
+    < free match any text byte for free (probability excluded too).  Lets
+    callers run head/tail seed-split alignments on full, ungathered read
+    rows (models/single.py score_phase)."""
     backend = _lv_backend()
     if backend != "jax":
+        if keep_tables and free is not None:
+            raise NotImplementedError("free prefix + tables: use jax path")
         return _lv_distance_pallas(pattern, p_len, text, t_len, k, quality,
+                                   free,
                                    e_max=e_max, cigar_order=cigar_order,
                                    keep_tables=keep_tables,
                                    interpret=(backend == "interpret"))
-    return _lv_distance_jax(pattern, p_len, text, t_len, k, quality,
+    return _lv_distance_jax(pattern, p_len, text, t_len, k, quality, free,
                             e_max=e_max, cigar_order=cigar_order,
                             keep_tables=keep_tables)
 
 
 @functools.partial(jax.jit, static_argnames=("e_max", "cigar_order",
                                              "keep_tables", "interpret"))
-def _lv_distance_pallas(pattern, p_len, text, t_len, k, quality=None, *,
+def _lv_distance_pallas(pattern, p_len, text, t_len, k, quality=None,
+                        free=None, *,
                         e_max: int, cigar_order: bool, keep_tables: bool,
                         interpret: bool) -> LVResult:
     """Pallas-core LV: DP, extension AND the probability backtrace run in
@@ -160,9 +169,11 @@ def _lv_distance_pallas(pattern, p_len, text, t_len, k, quality=None, *,
     else:
         # hot path: candidates-on-lanes layout, no tables
         from .lv_pallas import lv_distance_pallas_lanes
+        free_v = jnp.zeros_like(p_len) if free is None else free
         dist, e_fin, d_fin, log_prob, net_indel = lv_distance_pallas_lanes(
             pattern, p_len.astype(jnp.int32), textp,
             t_len.astype(jnp.int32), k, qual_logp,
+            free_v.astype(jnp.int32),
             e_max=e_max, cigar_order=cigar_order, interpret=interpret)
         D0 = 2 * e_max + 1
         L_all = jnp.zeros((B, 1, D0), jnp.int32)
@@ -219,6 +230,7 @@ def _lv_distance_jax(pattern: jnp.ndarray,
                      t_len: jnp.ndarray,
                      k: jnp.ndarray,
                      quality: jnp.ndarray | None = None,
+                     free: jnp.ndarray | None = None,
                      *,
                      e_max: int,
                      cigar_order: bool = False,
@@ -256,6 +268,9 @@ def _lv_distance_jax(pattern: jnp.ndarray,
             + jnp.arange(P, dtype=jnp.int32)[None, :])          # (D, P)
     shifted = textp[:, gidx]                                     # (B, D, P)
     match = shifted == pattern[:, None, :]
+    if free is not None:
+        # free-prefix positions match regardless of text
+        match = match | (pos[None, None, :] < free[:, None, None])
     # int16 halves the footprint of the biggest tensor in the kernel
     # (P is always < 2^15; MAX_READ_LENGTH is 512)
     mm_idx = jnp.where(match, jnp.int16(P), pos.astype(jnp.int16)[None, None, :])
@@ -341,7 +356,10 @@ def _lv_distance_jax(pattern: jnp.ndarray,
     log_prob, net_indel, acts_bt, matched_bt = _backtrace_prob(
         pattern, p_len, quality, L_all, A_all, e_fin, d_fin, e_max)
 
-    log_perfect = p_len.astype(jnp.float32) * LOG_ONE_MINUS_SNP
+    eff_len = p_len if free is None else p_len - free
+    log_perfect = eff_len.astype(jnp.float32) * LOG_ONE_MINUS_SNP
+    if free is not None:
+        log_prob = log_prob - free.astype(jnp.float32) * LOG_ONE_MINUS_SNP
     log_prob = jnp.where(perfect, jnp.where(perfect_ok, log_perfect, NEG_INF), log_prob)
     net_indel = jnp.where(perfect, 0, net_indel)
     log_prob = jnp.where(dist >= 0, log_prob, NEG_INF)

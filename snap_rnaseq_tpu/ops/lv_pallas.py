@@ -336,12 +336,12 @@ def lv_distance_pallas_core(pattern, p_len, textp, t_len, k, qual_logp, *,
 def lv_lanes_tile(e_max: int) -> int:
     """Lane-tile size bounded by the (D, P, C) int32 temporaries in VMEM."""
     D = 2 * e_max + 1
-    return 128 if D > 16 else 256
+    return 128 if D > 16 else 512
 
 
 def _lv_kernel_lanes(prio_ref, pattern_ref, p_len_ref, text_ref, t_len_ref,
-                     k_ref, qlp_ref, dist_ref, e_fin_ref, d_fin_ref,
-                     logp_ref, net_ref, nextmm_ref,
+                     k_ref, qlp_ref, free_ref, dist_ref, e_fin_ref,
+                     d_fin_ref, logp_ref, net_ref, nextmm_ref,
                      *, e_max: int, P: int, cigar_order: bool):
     D = 2 * e_max + 1
     C = dist_ref.shape[1]
@@ -352,26 +352,28 @@ def _lv_kernel_lanes(prio_ref, pattern_ref, p_len_ref, text_ref, t_len_ref,
     k = jnp.minimum(k_ref[...], e_max)
     textp = text_ref[...]                             # (TXT, C) i32
     qual_logp = qlp_ref[...]                          # (P, C) f32
+    free = free_ref[...]                              # (1, C) i32
     TXT = textp.shape[0]
 
     tpos = jax.lax.broadcasted_iota(jnp.int32, (TXT, C), 0) - e_max
     textp = jnp.where(tpos < t_len, textp, jnp.int32(255))
 
-    # per-diagonal next-mismatch columns (P, C), via the scratch ref
+    # per-diagonal mismatch columns (P, C) into the scratch, then ONE
+    # 3D suffix-min pass (7 rolls of the whole tensor instead of D*7 2D);
+    # positions below the free prefix match unconditionally
     pos2 = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
     for d in range(D):
         tsl = pltpu.roll(textp, (TXT - d) % TXT, 0)[:P, :]
-        mm2 = jnp.where(tsl == pattern, jnp.int32(P), pos2)
-        # suffix min along sublanes (axis 0)
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
-        s = 1
-        while s < P:
-            rolled = pltpu.roll(mm2, P - s, 0)
-            shifted = jnp.where(lane0 >= P - s, jnp.int32(32767), rolled)
-            mm2 = jnp.minimum(mm2, shifted)
-            s *= 2
-        nextmm_ref[d, :, :] = mm2
+        m = (tsl == pattern) | (pos2 < free)
+        nextmm_ref[d, :, :] = jnp.where(m, jnp.int32(P), pos2)
     nextmm = nextmm_ref[...]                          # (D, P, C)
+    sub1 = jax.lax.broadcasted_iota(jnp.int32, (D, P, C), 1)
+    s = 1
+    while s < P:
+        rolled = pltpu.roll(nextmm, P - s, 1)
+        nextmm = jnp.minimum(nextmm, jnp.where(sub1 >= P - s,
+                                               jnp.int32(32767), rolled))
+        s *= 2
 
     pos3 = jax.lax.broadcasted_iota(jnp.int32, (D, P, C), 1)
     d_vals = jax.lax.broadcasted_iota(jnp.int32, (D, C), 0) - e_max
@@ -489,7 +491,8 @@ def _lv_kernel_lanes(prio_ref, pattern_ref, p_len_ref, text_ref, t_len_ref,
         run_open = jnp.where(active, (m == 0).astype(jnp.int32), run_open)
         prev_act = jnp.where(active, act, prev_act)
 
-    logp = logp + (p_len - e_fin).astype(jnp.float32) * LOG_ONE_MINUS_SNP
+    logp = logp + (p_len - e_fin - free).astype(jnp.float32) * \
+        LOG_ONE_MINUS_SNP
     logp = jnp.where(dist >= 0, logp, NEG_INF)
     net = jnp.where(perfect, 0, net)
 
@@ -502,7 +505,8 @@ def _lv_kernel_lanes(prio_ref, pattern_ref, p_len_ref, text_ref, t_len_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("e_max", "cigar_order", "interpret"))
-def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp, *,
+def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp,
+                             free=None, *,
                              e_max: int, cigar_order: bool = False,
                              interpret: bool = False):
     """Lanes-layout core: returns (dist, e_fin, d_fin, logp, net).
@@ -514,6 +518,8 @@ def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp, *,
     TXT = textp.shape[1]
     D = 2 * e_max + 1
     C = lv_lanes_tile(e_max)
+    if free is None:
+        free = jnp.zeros_like(p_len)
     Bp = ((B + C - 1) // C) * C
     if Bp != B:
         pad = Bp - B
@@ -523,6 +529,7 @@ def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp, *,
         t_len = jnp.pad(t_len, (0, pad))
         k = jnp.pad(k, (0, pad))
         qual_logp = jnp.pad(qual_logp, ((0, pad), (0, 0)))
+        free = jnp.pad(free, (0, pad))
     grid = (Bp // C,)
 
     prio = jnp.asarray(_d_order(e_max, cigar_order))[:, None]    # (D, 1)
@@ -543,6 +550,7 @@ def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp, *,
             pl.BlockSpec((TXT, C), lambda i: (0, i), memory_space=pltpu.VMEM),
             row(), row(),
             pl.BlockSpec((P, C), lambda i: (0, i), memory_space=pltpu.VMEM),
+            row(),
         ],
         out_specs=(row(), row(), row(), row(), row()),
         scratch_shapes=[pltpu.VMEM((D, P, C), jnp.int32)],
@@ -550,6 +558,7 @@ def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp, *,
         interpret=interpret,
     )(prio, pattern.astype(jnp.int32).T, p_len[None, :].astype(jnp.int32),
       textp.astype(jnp.int32).T, t_len[None, :].astype(jnp.int32),
-      k[None, :].astype(jnp.int32), qual_logp.astype(jnp.float32).T)
+      k[None, :].astype(jnp.int32), qual_logp.astype(jnp.float32).T,
+      free[None, :].astype(jnp.int32))
 
     return (dist[0, :B], e_fin[0, :B], d_fin[0, :B], logp[0, :B], net[0, :B])
