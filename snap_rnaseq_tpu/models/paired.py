@@ -149,13 +149,15 @@ def pair_phase(d0, d1, cfg: PairedAlignerConfig, popular0, popular1):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "seed_len", "read_len", "genome_size"))
+    static_argnames=("cfg", "seed_len", "read_len", "genome_size",
+                     "sched_static"))
 def _paired_align_batch(reads0, quals0, reads1, quals1,
                         ht_entries, shard_start, shard_size,
                         overflow, genome_p4, piece_starts,
                         schedule, wraps,
                         *, cfg: PairedAlignerConfig, seed_len: int,
-                        read_len: int, genome_size: int):
+                        read_len: int, genome_size: int,
+                        sched_static: tuple = None):
     B = reads0.shape[0]
     S = schedule.shape[0]
     ecfg = cfg.end_config()
@@ -163,7 +165,7 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
     for reads, quals in ((reads0, quals0), (reads1, quals1)):
         seeds = sg.seed_phase(reads, schedule, seed_len, ht_entries,
                               shard_start, shard_size, overflow,
-                              genome_size)
+                              genome_size, sched_static)
         cg = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
         budget = sg.budget_phase(seeds["valid"], cg, wraps, ecfg)
         cands = sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
@@ -249,7 +251,8 @@ class PairedAligner:
             self._dev["piece_starts"],
             jnp.asarray(positions[:S]), jnp.asarray(wraps[:S]),
             cfg=self.cfg, seed_len=self.index.seed_len, read_len=L,
-            genome_size=self.genome_size)
+            genome_size=self.genome_size,
+            sched_static=tuple(int(x) for x in positions[:S]))
 
     def align_batch(self, reads0, quals0, reads1, quals1) -> dict:
         out = self.align_batch_device(

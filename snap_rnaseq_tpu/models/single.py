@@ -101,10 +101,16 @@ def _segment_ids(boundary: jnp.ndarray) -> jnp.ndarray:
 # ----------------------------------------------------------------------
 
 def seed_phase(reads, schedule, seed_len, ht_entries,
-               shard_start, shard_size, overflow, genome_size):
+               shard_start, shard_size, overflow, genome_size,
+               sched_static=None):
     """Pack + look up every scheduled seed.  Local to an index shard: seeds
-    whose table lives elsewhere simply come back not-found (size 0)."""
-    packed = lk.pack_seeds(reads, schedule, seed_len)
+    whose table lives elsewhere simply come back not-found (size 0).
+
+    sched_static: the schedule as a static tuple (positions are a per-read-
+    length constant), letting pack_seeds use static slices."""
+    packed = lk.pack_seeds(
+        reads, sched_static if sched_static is not None else schedule,
+        seed_len)
     found, fwd_val, rc_val = lk.lookup_seeds(
         packed, ht_entries, shard_start, shard_size)
     cnt_f, base_f = lk.expand_counts(fwd_val, overflow, genome_size)
@@ -581,17 +587,19 @@ def _multi_hits(u_read, loc_adj, u_dir, score, u_order, in_play, B, C,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "seed_len", "read_len", "genome_size"))
+    static_argnames=("cfg", "seed_len", "read_len", "genome_size",
+                     "sched_static"))
 def _align_batch(reads, quals,
                  ht_entries, shard_start, shard_size,
                  overflow, genome_p4, piece_starts,
                  schedule, wraps,
                  *, cfg: SingleAlignerConfig, seed_len: int, read_len: int,
-                 genome_size: int):
+                 genome_size: int, sched_static: tuple = None):
     B = reads.shape[0]
     S = schedule.shape[0]
     seeds = seed_phase(reads, schedule, seed_len, ht_entries,
-                       shard_start, shard_size, overflow, genome_size)
+                       shard_start, shard_size, overflow, genome_size,
+                       sched_static)
     counts_global = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
     budget = budget_phase(seeds["valid"], counts_global, wraps, cfg)
     cands = expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
@@ -653,7 +661,8 @@ class SingleAligner:
             jnp.asarray(positions), jnp.asarray(wraps),
             cfg=self.cfg.resolve_for_read_len(L),
             seed_len=self.index.seed_len, read_len=L,
-            genome_size=self.genome_size)
+            genome_size=self.genome_size,
+            sched_static=tuple(int(x) for x in positions))
 
     def align_batch(self, reads: np.ndarray, quals: np.ndarray) -> dict:
         """reads: (B, L) uint8 base codes (uniform length); quals ASCII."""

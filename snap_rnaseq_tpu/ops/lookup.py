@@ -38,45 +38,50 @@ def murmur32(key: jnp.ndarray) -> jnp.ndarray:
     return k
 
 
-def pack_seeds(reads: jnp.ndarray, positions: jnp.ndarray, seed_len: int):
+def pack_seeds(reads: jnp.ndarray, positions, seed_len: int):
     """Pack seeds of each read at the given start positions.
 
-    reads: (B, L) uint8 base codes; positions: (S,) int32 (shared schedule).
-    Returns dict with lo/hi (u32 (B,S)) for fwd and rc packs plus validity.
-    Bases are 2-bit big-endian-by-base; lo = last 16 bases, hi = the rest
-    (Seed.h:60-66).
+    reads: (B, L) uint8 base codes; positions: STATIC tuple of start
+    positions (the shared schedule) — the seed windows become static
+    slices, no gather at all.  Returns dict with lo/hi (u32 (B,S)) for fwd
+    and rc packs plus validity.  Bases are 2-bit big-endian-by-base; lo =
+    last 16 bases, hi = the rest (Seed.h:60-66).
     """
     B, L = reads.shape
-    S = positions.shape[0]
-    idx = positions[None, :, None] + jnp.arange(seed_len, dtype=jnp.int32)
-    window = jnp.take_along_axis(
-        reads[:, None, :].astype(jnp.int32),
-        jnp.broadcast_to(jnp.clip(idx, 0, L - 1), (B, S, seed_len)), axis=2)
-    valid = (window < 4).all(axis=2)
-
+    positions = tuple(int(p) for p in positions)
     n_hi = max(0, seed_len - 16)
-    lo_f = jnp.zeros((B, S), jnp.uint32)
-    hi_f = jnp.zeros((B, S), jnp.uint32)
-    lo_r = jnp.zeros((B, S), jnp.uint32)
-    hi_r = jnp.zeros((B, S), jnp.uint32)
-    w = window.astype(jnp.uint32)
-    wc = w ^ jnp.uint32(3)
-    for i in range(seed_len):
-        # forward: base i lands at bit 2*(seed_len-1-i); shifts are even so a
-        # 2-bit field never straddles the 32-bit boundary
-        sh = 2 * (seed_len - 1 - i)
-        if sh >= 32:
-            hi_f = hi_f | (w[:, :, i] << (sh - 32))
-        else:
-            lo_f = lo_f | (w[:, :, i] << sh)
-        # rc: complement of base i lands at bit 2*i
-        shr = 2 * i
-        if shr >= 32:
-            hi_r = hi_r | (wc[:, :, i] << (shr - 32))
-        else:
-            lo_r = lo_r | (wc[:, :, i] << shr)
-    return dict(lo_f=lo_f, hi_f=hi_f, lo_r=lo_r, hi_r=hi_r, valid=valid,
-                n_hi_bits=2 * n_hi)
+
+    # per-base columns once: codes (B, L) uint32 + complement
+    w_all = reads.astype(jnp.uint32)
+    wc_all = w_all ^ jnp.uint32(3)
+    ok_all = reads < 4
+
+    los_f, his_f, los_r, his_r, valids = [], [], [], [], []
+    for p in positions:
+        lo_f = jnp.zeros((B,), jnp.uint32)
+        hi_f = jnp.zeros((B,), jnp.uint32)
+        lo_r = jnp.zeros((B,), jnp.uint32)
+        hi_r = jnp.zeros((B,), jnp.uint32)
+        valid = jnp.ones((B,), bool)
+        for i in range(seed_len):
+            c = jnp.minimum(p + i, L - 1)
+            valid = valid & ok_all[:, c]
+            sh = 2 * (seed_len - 1 - i)
+            if sh >= 32:
+                hi_f = hi_f | (w_all[:, c] << (sh - 32))
+            else:
+                lo_f = lo_f | (w_all[:, c] << sh)
+            shr = 2 * i
+            if shr >= 32:
+                hi_r = hi_r | (wc_all[:, c] << (shr - 32))
+            else:
+                lo_r = lo_r | (wc_all[:, c] << shr)
+        los_f.append(lo_f); his_f.append(hi_f)
+        los_r.append(lo_r); his_r.append(hi_r)
+        valids.append(valid)
+    return dict(lo_f=jnp.stack(los_f, axis=1), hi_f=jnp.stack(his_f, axis=1),
+                lo_r=jnp.stack(los_r, axis=1), hi_r=jnp.stack(his_r, axis=1),
+                valid=jnp.stack(valids, axis=1), n_hi_bits=2 * n_hi)
 
 
 def lookup_seeds(packed: dict, ht_entries,
