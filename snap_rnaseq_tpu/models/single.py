@@ -294,25 +294,34 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
                                 width=read_len + 2 * MAX_K)
     fwd_text = window[:, MAX_K:]
     bwd_text = jnp.flip(window[:, :read_len + MAX_K], axis=1)
-    plen_full = jnp.full((C,), read_len, jnp.int32)
-
+    plen_full = jnp.full((2 * C,), read_len, jnp.int32)
     kvec = jnp.where(u["live"] & data_ok, e_max, 0).astype(jnp.int32)
-    r1 = lv_distance(sel, plen_full, fwd_text, text_len, kvec,
-                     selq, free=tail, e_max=e_max)
 
+    # one fused kernel invocation for both directions (halves dispatch /
+    # layout overhead): rows [0, C) = forward tail, rows [C, 2C) = reversed
+    # head
     rsel = sel[:, ::-1]
     rselq = selq[:, ::-1]
     bwd_tlen = (read_len - so) + jnp.minimum(so + MAX_K, loc_c + so)
-    r2 = lv_distance(rsel, plen_full, bwd_text, bwd_tlen, kvec,
-                     rselq, free=read_len - so, e_max=e_max)
+    r = lv_distance(
+        jnp.concatenate([sel, rsel], axis=0), plen_full,
+        jnp.concatenate([fwd_text, bwd_text], axis=0),
+        jnp.concatenate([text_len, bwd_tlen], axis=0),
+        jnp.concatenate([kvec, kvec], axis=0),
+        jnp.concatenate([selq, rselq], axis=0),
+        free=jnp.concatenate([tail, read_len - so], axis=0),
+        e_max=e_max)
+    d1, d2 = r.distance[:C], r.distance[C:]
+    lp1, lp2 = r.log_prob[:C], r.log_prob[C:]
+    net2 = r.net_indel[C:]
 
-    scored_ok = u["live"] & data_ok & (r1.distance >= 0) & (r2.distance >= 0) \
-        & (r1.distance + r2.distance <= gate)
-    score = jnp.where(scored_ok, r1.distance + r2.distance, BIG)
+    scored_ok = u["live"] & data_ok & (d1 >= 0) & (d2 >= 0) \
+        & (d1 + d2 <= gate)
+    score = jnp.where(scored_ok, d1 + d2, BIG)
     logp = jnp.where(scored_ok,
-                     r1.log_prob + r2.log_prob + seed_len * LOG_ONE_MINUS_SNP,
+                     lp1 + lp2 + seed_len * LOG_ONE_MINUS_SNP,
                      NEG_INF)
-    loc_adj = jnp.where(scored_ok, loc_c + r2.net_indel, loc_c)
+    loc_adj = jnp.where(scored_ok, loc_c + net2, loc_c)
     return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok)
 
 

@@ -23,6 +23,7 @@ import os
 import time
 from collections import defaultdict
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DEFAULT_CONF_DIFF
@@ -129,8 +130,12 @@ class RnaSingleEndPipeline(_RnaBase):
                 if not reads:
                     return
                 batch = make_batch(reads, L, opt.batch_size)
-                g_res = self.g_aligner.align_batch(batch.codes, batch.quals)
-                t_res = self.t_aligner.align_batch(batch.codes, batch.quals)
+                # dispatch both aligners before materializing either result
+                codes_j, quals_j = jnp.asarray(batch.codes), jnp.asarray(batch.quals)
+                g_dev = self.g_aligner.align_batch_device(codes_j, quals_j)
+                t_dev = self.t_aligner.align_batch_device(codes_j, quals_j)
+                g_res = {k: np.asarray(v) for k, v in g_dev.items()}
+                t_res = {k: np.asarray(v) for k, v in t_dev.items()}
                 c_res = None
                 for i, r in enumerate(reads):
                     filt = AlignmentFilter(
@@ -248,10 +253,14 @@ class RnaPairedEndPipeline(_RnaBase):
                     return
                 b0 = make_batch([p[0] for p in pairs], L, opt.batch_size)
                 b1 = make_batch([p[1] for p in pairs], L, opt.batch_size)
-                g_res = self.g_aligner.align_batch(b0.codes, b0.quals,
-                                                   b1.codes, b1.quals)
-                t_res0 = self.t_aligner.align_batch(b0.codes, b0.quals)
-                t_res1 = self.t_aligner.align_batch(b1.codes, b1.quals)
+                c0, q0 = jnp.asarray(b0.codes), jnp.asarray(b0.quals)
+                c1, q1 = jnp.asarray(b1.codes), jnp.asarray(b1.quals)
+                g_dev = self.g_aligner.align_batch_device(c0, q0, c1, q1)
+                t_dev0 = self.t_aligner.align_batch_device(c0, q0)
+                t_dev1 = self.t_aligner.align_batch_device(c1, q1)
+                g_res = {k: np.asarray(v) for k, v in g_dev.items()}
+                t_res0 = {k: np.asarray(v) for k, v in t_dev0.items()}
+                t_res1 = {k: np.asarray(v) for k, v in t_dev1.items()}
                 c_res = None
                 for i, (r0, r1) in enumerate(pairs):
                     filt = AlignmentFilter(
