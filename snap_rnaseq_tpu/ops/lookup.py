@@ -48,7 +48,15 @@ def pack_seeds(reads: jnp.ndarray, positions, seed_len: int):
     last 16 bases, hi = the rest (Seed.h:60-66).
     """
     B, L = reads.shape
-    positions = tuple(int(p) for p in positions)
+    if not isinstance(positions, (tuple, list)):
+        import numpy as _np
+        if isinstance(positions, _np.ndarray):
+            positions = tuple(int(p) for p in positions)
+        else:
+            # traced schedule (e.g. inside shard_map): gather formulation
+            return _pack_seeds_gather(reads, positions, seed_len)
+    else:
+        positions = tuple(int(p) for p in positions)
     n_hi = max(0, seed_len - 16)
 
     # per-base columns once: codes (B, L) uint32 + complement
@@ -232,3 +240,35 @@ def gather_hit(slot_in_list, count, list_base, val, overflow):
                        max(overflow.shape[0] - 1, 0))
     from_ovf = overflow[ovf_idx] if overflow.shape[0] else jnp.zeros_like(val)
     return jnp.where(direct, val, from_ovf)
+
+
+def _pack_seeds_gather(reads: jnp.ndarray, positions: jnp.ndarray,
+                       seed_len: int):
+    """Gather-based packing for traced (non-static) schedules."""
+    B, L = reads.shape
+    S = positions.shape[0]
+    idx = positions[None, :, None] + jnp.arange(seed_len, dtype=jnp.int32)
+    window = jnp.take_along_axis(
+        reads[:, None, :].astype(jnp.int32),
+        jnp.broadcast_to(jnp.clip(idx, 0, L - 1), (B, S, seed_len)), axis=2)
+    valid = (window < 4).all(axis=2)
+    n_hi = max(0, seed_len - 16)
+    lo_f = jnp.zeros((B, S), jnp.uint32)
+    hi_f = jnp.zeros((B, S), jnp.uint32)
+    lo_r = jnp.zeros((B, S), jnp.uint32)
+    hi_r = jnp.zeros((B, S), jnp.uint32)
+    w = window.astype(jnp.uint32)
+    wc = w ^ jnp.uint32(3)
+    for i in range(seed_len):
+        sh = 2 * (seed_len - 1 - i)
+        if sh >= 32:
+            hi_f = hi_f | (w[:, :, i] << (sh - 32))
+        else:
+            lo_f = lo_f | (w[:, :, i] << sh)
+        shr = 2 * i
+        if shr >= 32:
+            hi_r = hi_r | (wc[:, :, i] << (shr - 32))
+        else:
+            lo_r = lo_r | (wc[:, :, i] << shr)
+    return dict(lo_f=lo_f, hi_f=hi_f, lo_r=lo_r, hi_r=hi_r, valid=valid,
+                n_hi_bits=2 * n_hi)
