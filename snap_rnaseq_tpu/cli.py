@@ -193,8 +193,12 @@ def cmd_single(argv):
     import os as _os
 
     def _is_index_dir(d):
-        return _os.path.isdir(d) and \
-            _os.path.exists(_os.path.join(d, "index.json"))
+        if not _os.path.isdir(d):
+            return False
+        if _os.path.exists(_os.path.join(d, "index.json")):
+            return True
+        from .index.snap_format import is_snap_format_dir
+        return is_snap_format_dir(d)
 
     if len(pos) >= 4 and _is_index_dir(pos[1]):
         genome_dir, transcriptome_dir, annotation = pos[:3]

@@ -145,6 +145,13 @@ class GenomeIndex:
 
     @classmethod
     def load(cls, directory: str, mmap: bool = True) -> "GenomeIndex":
+        if not os.path.exists(os.path.join(directory, "index.json")):
+            # Transparently accept a reference-format index directory
+            # (GenomeIndex/Genome/GenomeIndexHash/OverflowTable) so existing
+            # SNAP indices work unchanged; see index/snap_format.py.
+            from .snap_format import is_snap_format_dir, load_snap_index
+            if is_snap_format_dir(directory):
+                return load_snap_index(directory)
         with open(os.path.join(directory, "index.json")) as f:
             meta = json.load(f)
         mm = "r" if mmap else None

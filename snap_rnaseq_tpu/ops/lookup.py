@@ -155,59 +155,85 @@ def lookup_seeds(packed: dict, ht_entries,
         slot_v2 = jnp.where(newly & is_hit, v2, slot_v2)
         done = done | newly
 
-    # Phase 2 on the compacted remainder
+    # Phase 2: compact the stragglers into dense REM-sized blocks and probe
+    # each block with a data-dependent loop.  The OUTER loop repeats the
+    # compaction until no lane is pending, so a batch with more than REM
+    # stragglers (dense tables — e.g. reference-built indices at slack 0.3 —
+    # make long probe chains common) still resolves every lane exactly;
+    # with the usual straggler counts it runs a single round.
     B, S = key.shape
     BS = B * S
-    REM = max(256, BS // 16)
+    REM = min(BS, max(256, BS // 16))
     flat = lambda x: x.reshape(BS)
-    pending = ~flat(done)
-    # stable true-first partition via cumsum (no sort)
-    mask_i = pending.astype(jnp.int32)
-    pos_true = jnp.cumsum(mask_i) - 1
-    n_true = pos_true[-1] + 1
-    dest = jnp.where(pending, pos_true, n_true + jnp.cumsum(1 - mask_i) - 1)
-    inv = jnp.zeros(BS, jnp.int32).at[dest].set(
-        jnp.arange(BS, dtype=jnp.int32))
-    take = inv[:REM]
+    f_key, f_base, f_size = flat(key), flat(base), flat(size_safe)
 
-    c_key = flat(key)[take]
-    c_idx = flat(idx)[take]
-    c_base = flat(base)[take]
-    c_size = flat(size_safe)[take]
-    c_n = flat(n_probes)[take]
-    c_done = flat(done)[take] | (jnp.arange(REM) >= n_true)
-    c_found = jnp.zeros(REM, bool)
-    c_v1 = jnp.full(REM, _UNUSED)
-    c_v2 = jnp.full(REM, _UNUSED)
+    def outer_cond(st):
+        done_f = st[0]
+        return ~done_f.all()
 
-    def cond(state):
-        done_c, *_, n = state
-        return (~done_c).any() & (n < MAX_PROBES)
+    def outer_body(st):
+        done_f, idx_f, np_f, found_f, v1_f, v2_f = st
+        # stable pending-first partition via cumsum (no sort)
+        mask_i = (~done_f).astype(jnp.int32)
+        pos_true = jnp.cumsum(mask_i) - 1
+        n_true = pos_true[-1] + 1
+        dest = jnp.where(~done_f, pos_true,
+                         n_true + jnp.cumsum(1 - mask_i) - 1)
+        inv = jnp.zeros(BS, jnp.int32).at[dest].set(
+            jnp.arange(BS, dtype=jnp.int32))
+        take = inv[:REM]
 
-    def body(state):
-        done_c, idx_c, v1_c, v2_c, np_c, found_c, n = state
-        np_c = jnp.where(done_c, np_c, np_c + 1)
-        step = jnp.where(np_c < 5, np_c * np_c, 1)
-        idx_c = jnp.where(done_c, idx_c, (idx_c + step) % c_size)
-        e = ht_entries[c_base + idx_c]
-        kk, v1, v2 = e[..., 0], e[..., 1], e[..., 2]
-        is_hit = (kk == c_key) & (v1 != _EMPTY)
-        is_end = (v1 == _EMPTY) | (np_c > c_size + 5)
-        newly = ~done_c & (is_hit | is_end)
-        found_c = jnp.where(newly & is_hit, True, found_c)
-        v1_c = jnp.where(newly & is_hit, v1, v1_c)
-        v2_c = jnp.where(newly & is_hit, v2, v2_c)
-        return done_c | newly, idx_c, v1_c, v2_c, np_c, found_c, n + 1
+        c_key = f_key[take]
+        c_base = f_base[take]
+        c_size = f_size[take]
+        c_idx = idx_f[take]
+        c_n = np_f[take]
+        c_done = done_f[take] | (jnp.arange(REM) >= n_true)
+        c_found = jnp.zeros(REM, bool)
+        c_v1 = jnp.full(REM, _UNUSED)
+        c_v2 = jnp.full(REM, _UNUSED)
 
-    state0 = (c_done, c_idx, c_v1, c_v2, c_n, c_found,
-              jnp.int32(UNROLLED))
-    _, _, c_v1, c_v2, _, c_found, _ = jax.lax.while_loop(cond, body, state0)
+        def cond(state):
+            done_c, *_, n = state
+            return (~done_c).any() & (n < MAX_PROBES)
 
-    found = flat(found).at[take].max(c_found).reshape(B, S)
-    v1 = flat(slot_v1).at[take].min(c_v1).reshape(B, S)
-    v2 = flat(slot_v2).at[take].min(c_v2).reshape(B, S)
-    # lanes that overflowed REM stay not-found (counted nowhere: REM is
-    # 1/16 of the batch, far above real straggler counts)
+        def body(state):
+            done_c, idx_c, v1_c, v2_c, np_c, found_c, n = state
+            np_c = jnp.where(done_c, np_c, np_c + 1)
+            step = jnp.where(np_c < 5, np_c * np_c, 1)
+            idx_c = jnp.where(done_c, idx_c, (idx_c + step) % c_size)
+            e = ht_entries[c_base + idx_c]
+            kk, v1, v2 = e[..., 0], e[..., 1], e[..., 2]
+            is_hit = (kk == c_key) & (v1 != _EMPTY)
+            is_end = (v1 == _EMPTY) | (np_c > c_size + 5)
+            newly = ~done_c & (is_hit | is_end)
+            found_c = jnp.where(newly & is_hit, True, found_c)
+            v1_c = jnp.where(newly & is_hit, v1, v1_c)
+            v2_c = jnp.where(newly & is_hit, v2, v2_c)
+            return done_c | newly, idx_c, v1_c, v2_c, np_c, found_c, n + 1
+
+        state0 = (c_done, c_idx, c_v1, c_v2, c_n, c_found,
+                  jnp.int32(UNROLLED))
+        _, c_idx, c_v1, c_v2, c_n, c_found, _ = jax.lax.while_loop(
+            cond, body, state0)
+
+        # every taken lane is finished now (MAX_PROBES acts as the
+        # reference's nProbes > tableSize + 5 not-found guard)
+        done_f = done_f.at[take].set(True)
+        found_f = found_f.at[take].max(c_found)
+        v1_f = v1_f.at[take].min(c_v1)
+        v2_f = v2_f.at[take].min(c_v2)
+        idx_f = idx_f.at[take].set(c_idx)
+        np_f = np_f.at[take].set(c_n)
+        return done_f, idx_f, np_f, found_f, v1_f, v2_f
+
+    st0 = (flat(done), flat(idx), flat(n_probes), flat(found),
+           flat(slot_v1), flat(slot_v2))
+    done_f, _, _, found_f, v1_f, v2_f = jax.lax.while_loop(
+        outer_cond, outer_body, st0)
+    found = found_f.reshape(B, S)
+    v1 = v1_f.reshape(B, S)
+    v2 = v2_f.reshape(B, S)
 
     fwd_val = jnp.where(found, jnp.where(fwd_smaller, v1, v2), _UNUSED)
     rc_val = jnp.where(found, jnp.where(fwd_smaller, v2, v1), _UNUSED)
