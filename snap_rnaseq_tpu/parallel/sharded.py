@@ -146,6 +146,168 @@ def seed_position_schedule_cached(read_len, seed_len, max_slots):
     return positions[:S], wraps[:S]
 
 
+def _end_pipeline(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
+                  genome, pieces, schedule, wraps, cfg, seed_len, read_len,
+                  genome_size, n_idx):
+    """One end's sharded candidate+score pipeline (inside shard_map).
+
+    Returns (u, sc, single_out, budget, truncated) — the same intermediate
+    contract the single-chip paired engine builds per end
+    (models/paired.py:_paired_align_batch), with the seed probe on the local
+    index slice, hit counts psum-ed, candidates all_gather-ed, and LV
+    scoring re-split over the 'index' axis.
+    """
+    B = reads_l.shape[0]
+    S = schedule.shape[0]
+    seeds = sg.seed_phase(reads_l, schedule, seed_len, entries_l,
+                          sstart_l, ssize_l, ovf_l, genome_size)
+    counts_local = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
+    counts_global = jax.lax.psum(counts_local, "index")
+    budget = sg.budget_phase(seeds["valid"], counts_global, wraps, cfg)
+    cands = sg.expand_phase(seeds, budget, schedule, ovf_l, cfg, seed_len,
+                            read_len, cfg.cand_per_read)
+    gathered = {}
+    for k in ("read", "dir", "loc", "order", "offset", "round", "lp", "live"):
+        g = jax.lax.all_gather(cands[k], "index")
+        gathered[k] = g.reshape(-1)
+    u = sg.aggregate_phase(gathered)
+
+    C_total = u["read"].shape[0]
+    C_slice = C_total // n_idx
+    me = jax.lax.axis_index("index")
+    u_slice = {k: jax.lax.dynamic_slice_in_dim(v, me * C_slice, C_slice)
+               for k, v in u.items()}
+    sc_slice = sg.score_phase(u_slice, reads_l, quals_l, genome, pieces,
+                              cfg, seed_len, read_len, genome_size)
+    sc = {k: jax.lax.all_gather(v, "index").reshape(C_total, *v.shape[1:])
+          for k, v in sc_slice.items()}
+    single_out = sg.replay_phase(u, sc, budget, reads_l, B, S, cfg)
+    single_out["n_found"] = jax.lax.psum(seeds["found"].sum(), "index")
+    return u, sc, single_out, budget, cands["truncated"]
+
+
+class ShardedPairedAligner:
+    """Paired-end aligner over the same ('data', 'index') mesh.
+
+    Both ends run the sharded single-end pipeline; the dense pair join +
+    pair MAPQ (models/paired.py:pair_phase, the TPU shape of
+    IntersectingPairedEndAligner.cpp:355-741) is per-read math and runs
+    replicated within each data shard.
+    """
+
+    def __init__(self, index: GenomeIndex, mesh: Mesh, config=None,
+                 **overrides):
+        from ..models.paired import PairedAlignerConfig
+        self.index = index
+        self.mesh = mesh
+        cfg = config or PairedAlignerConfig(seed_len=index.seed_len)
+        if overrides:
+            cfg = PairedAlignerConfig(**{**cfg.__dict__, **overrides})
+        self.cfg = cfg
+        self.n_data = mesh.shape["data"]
+        self.n_idx = mesh.shape["index"]
+        parts = partition_index(index, self.n_idx)
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        self._ht = {k: put(parts[k], P("index"))
+                    for k in ("ht_entries", "overflow",
+                              "shard_start", "shard_size")}
+        from ..ops.genome_gather import pack_genome_4bit
+        self._genome = put(pack_genome_4bit(
+            np.ascontiguousarray(index.genome.codes)), P())
+        self._pieces = put(index.genome.piece_offsets.astype(np.int32), P())
+        self.genome_size = index.genome_size
+
+    def align_batch(self, reads0, quals0, reads1, quals1) -> dict:
+        B, L = reads0.shape
+        if B % self.n_data:
+            raise ValueError("batch must divide the data axis")
+        positions, wraps = seed_position_schedule_cached(
+            L, self.index.seed_len, self.cfg.max_seed_slots)
+        sharded = NamedSharding(self.mesh, P("data"))
+        out = _sharded_align_paired(
+            jax.device_put(reads0, sharded), jax.device_put(quals0, sharded),
+            jax.device_put(reads1, sharded), jax.device_put(quals1, sharded),
+            self._ht["ht_entries"],
+            self._ht["shard_start"], self._ht["shard_size"],
+            self._ht["overflow"], self._genome, self._pieces,
+            jnp.asarray(positions), jnp.asarray(wraps),
+            mesh=self.mesh, cfg=self.cfg, seed_len=self.index.seed_len,
+            read_len=L, genome_size=self.genome_size, n_idx=self.n_idx)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cfg", "seed_len", "read_len", "genome_size",
+                     "n_idx"))
+def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
+                          shard_start, shard_size, overflow, genome_codes,
+                          piece_starts, schedule, wraps, *, mesh, cfg,
+                          seed_len, read_len, genome_size, n_idx):
+    from ..models.paired import (MAPQ_LIMIT_FOR_SINGLE_HIT, MULTIPLE_HITS,
+                                 NOT_FOUND, SINGLE_HIT, _dense_per_read,
+                                 pair_phase)
+    ecfg = cfg.end_config()
+
+    def step(reads0_l, quals0_l, reads1_l, quals1_l, entries_l, sstart_l,
+             ssize_l, ovf_l, genome, pieces):
+        entries_l = entries_l[0]
+        sstart_l, ssize_l, ovf_l = sstart_l[0], ssize_l[0], ovf_l[0]
+        B = reads0_l.shape[0]
+
+        ends = []
+        for reads_l, quals_l in ((reads0_l, quals0_l), (reads1_l, quals1_l)):
+            u, sc, single_out, _budget, trunc = _end_pipeline(
+                reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
+                genome, pieces, schedule, wraps, ecfg, seed_len, read_len,
+                genome_size, n_idx)
+            dense = _dense_per_read(u, sc, sc["scored_ok"], B,
+                                    ecfg.cand_per_read)
+            ends.append(dict(dense=dense, single=single_out,
+                             popular=single_out["popular"],
+                             truncated=jax.lax.psum(trunc, "index")))
+
+        pr = pair_phase(ends[0]["dense"], ends[1]["dense"], cfg,
+                        ends[0]["popular"], ends[1]["popular"])
+        out = dict(pair_found=pr["pair_found"], pair_score=pr["score"],
+                   pair_mapq=pr["mapq"], pair_log_pall=pr["log_pall"])
+        rows = jnp.arange(B)
+        for e in (0, 1):
+            d = ends[e]["dense"]
+            s = ends[e]["single"]
+            wsel = pr["w0"] if e == 0 else pr["w1"]
+            pf = pr["pair_found"]
+            mapq = jnp.where(pf, pr["mapq"], s["mapq"])
+            out[f"result{e}"] = jnp.where(
+                pf,
+                jnp.where(pr["mapq"] >= MAPQ_LIMIT_FOR_SINGLE_HIT,
+                          SINGLE_HIT, MULTIPLE_HITS),
+                s["result"])
+            out[f"loc{e}"] = jnp.where(pf, d["loc"][rows, wsel], s["loc"])
+            out[f"dir{e}"] = jnp.where(pf, d["dir"][rows, wsel],
+                                       s["direction"])
+            out[f"score{e}"] = jnp.where(pf, d["score"][rows, wsel],
+                                         s["score"])
+            out[f"mapq{e}"] = jnp.where(
+                jnp.where(pf, True, s["result"] != NOT_FOUND), mapq, 0)
+            out[f"truncated{e}"] = ends[e]["truncated"]
+        return out
+
+    from jax.experimental.shard_map import shard_map
+    fn = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"),
+                  P("index"), P("index"), P("index"), P("index"),
+                  P(), P()),
+        out_specs=P("data"),
+        check_rep=False)
+    return fn(reads0, quals0, reads1, quals1, ht_entries, shard_start,
+              shard_size, overflow, genome_codes, piece_starts)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cfg", "seed_len", "read_len", "genome_size",
@@ -160,42 +322,16 @@ def _sharded_align(reads, quals, ht_entries, shard_start,
         # leading device axis of size 1 from shard_map: strip it
         entries_l = entries_l[0]
         sstart_l, ssize_l, ovf_l = sstart_l[0], ssize_l[0], ovf_l[0]
-
         B = reads_l.shape[0]
-        S = schedule.shape[0]
 
-        seeds = sg.seed_phase(reads_l, schedule, seed_len, entries_l,
-                              sstart_l, ssize_l, ovf_l, genome_size)
-        counts_local = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
-        counts_global = jax.lax.psum(counts_local, "index")
-        budget = sg.budget_phase(seeds["valid"], counts_global, wraps, cfg)
-
-        cands = sg.expand_phase(seeds, budget, schedule, ovf_l, cfg, seed_len,
-                                read_len, cfg.cand_per_read)
-
-        # gather candidates from every index shard (fields are small ints)
-        gathered = {}
-        for k in ("read", "dir", "loc", "order", "offset", "round", "lp", "live"):
-            g = jax.lax.all_gather(cands[k], "index")       # (n_idx, B*CPR)
-            gathered[k] = g.reshape(-1)
-        u = sg.aggregate_phase(gathered)
-
-        # split LV scoring over the index axis
-        C_total = u["read"].shape[0]
-        C_slice = C_total // n_idx
-        me = jax.lax.axis_index("index")
-        u_slice = {k: jax.lax.dynamic_slice_in_dim(v, me * C_slice, C_slice)
-                   for k, v in u.items()}
-        sc_slice = sg.score_phase(u_slice, reads_l, quals_l, genome, pieces,
-                                  cfg, seed_len, read_len, genome_size)
-        sc = {k: jax.lax.all_gather(v, "index").reshape(C_total, *v.shape[1:])
-              for k, v in sc_slice.items()}
-
-        out = sg.replay_phase(u, sc, budget, reads_l, B, S, cfg)
-        out["truncated"] = jax.lax.psum(cands["truncated"], "index")
+        u, sc, out, _budget, trunc = _end_pipeline(
+            reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
+            genome, pieces, schedule, wraps, cfg, seed_len, read_len,
+            genome_size, n_idx)
+        out["truncated"] = jax.lax.psum(trunc, "index")
         # scalar stats don't fit P('data') out_specs; fold into a per-read vec
         out["n_lookups"] = jnp.broadcast_to(
-            jax.lax.psum(seeds["found"].sum(), "index")[None], (B,))
+            out.pop("n_found")[None], (B,))
         return out
 
     from jax.experimental.shard_map import shard_map
