@@ -92,7 +92,26 @@ def _add_align_flags(p: argparse.ArgumentParser, paired: bool):
     p.add_argument("-sm", dest="sort_memory_gb", type=float, default=0.0,
                    help="accepted for compatibility; sorting here streams "
                         "through a fixed-size spill buffer")
-    p.add_argument("-b", dest="batch_size", type=int, default=256)
+    p.add_argument("-bs", dest="batch_size", type=int, default=256,
+                   help="device batch size (reads per dispatch)")
+    # accepted-for-compatibility flags (reference surface, AlignerOptions.cpp
+    # :252-346): -t thread count / -b processor binding are meaningless for a
+    # single device program; -P (no prefetch) and --hp (no huge pages) tune
+    # the reference's memory system; -G is parsed by the reference but never
+    # consumed (AlignerOptions.h:89 'if non-zero use gap penalty aligner' has
+    # no consumer); -a is documented deprecated and eats one argument.
+    p.add_argument("-t", dest="_threads", type=int, default=0,
+                   help="thread count (accepted for compatibility)")
+    p.add_argument("-b", dest="_bind", action="store_true",
+                   help="bind threads to processors (accepted, no-op)")
+    p.add_argument("-P", dest="_no_prefetch", action="store_true",
+                   help="disable prefetching (accepted, no-op)")
+    p.add_argument("--hp", dest="_no_hugepages", action="store_true",
+                   help="no huge pages (accepted, no-op)")
+    p.add_argument("-G", dest="_gap_penalty", type=int, default=0,
+                   help="gap penalty (accepted; dead flag in the reference)")
+    p.add_argument("-a", dest="_deprecated_a", default=None,
+                   help="deprecated (accepted, consumes one argument)")
     p.add_argument("--help", action="help")
     if paired:
         p.add_argument("-s", dest="spacing", type=int, nargs=2,
@@ -100,6 +119,9 @@ def _add_align_flags(p: argparse.ArgumentParser, paired: bool):
                        help="min and max spacing for paired ends")
         p.add_argument("-fs", dest="force_spacing", action="store_true",
                        help="force spacing to lie between min and max")
+        p.add_argument("-I", dest="ignore_mismatched_ids",
+                       action="store_true",
+                       help="don't require mate read IDs to match")
 
 
 def _clip_mode(s: str) -> int:
@@ -257,18 +279,30 @@ def cmd_paired(argv):
 
     from .models.paired_pipeline import PairedEndPipeline, PairedPipelineOptions
 
-    if len(pos) == 3:
-        genome_dir, fq1, fq2 = pos
+    import os as _os
+
+    def _split_inputs(inputs):
+        """Input file list -> (fq1, fq2) for the supplier: one interleaved
+        file, one r1/r2 pair, or several consecutive pairs (the reference's
+        'FASTQ files must come in pairs' multi-input form)."""
+        if len(inputs) == 1:
+            return inputs[0], None
+        if len(inputs) == 2:
+            return inputs[0], inputs[1]
+        if len(inputs) % 2:
+            raise SystemExit("paired FASTQ inputs must come in pairs")
+        return list(inputs[0::2]), list(inputs[1::2])
+
+    if len(pos) >= 4 and _os.path.isdir(pos[1]):
+        genome_dir, transcriptome_dir, annotation = pos[:3]
+        fq1, fq2 = _split_inputs(pos[3:])
+    elif len(pos) >= 2:
+        genome_dir = pos[0]
         transcriptome_dir = annotation = None
-    elif len(pos) == 5:
-        genome_dir, transcriptome_dir, annotation, fq1, fq2 = pos
-    elif len(pos) == 2 and pos[1].lower().endswith((".sam", ".bam")):
-        genome_dir, fq1 = pos
-        fq2 = None
-        transcriptome_dir = annotation = None
+        fq1, fq2 = _split_inputs(pos[1:])
     else:
         print("usage: snap-rna-tpu paired <genome-dir> "
-              "[<transcriptome-dir> <annotation>] <r1> <r2> -o out.sam",
+              "[<transcriptome-dir> <annotation>] <r1> <r2> [...] -o out.sam",
               file=sys.stderr)
         return 2
 
@@ -279,7 +313,7 @@ def cmd_paired(argv):
         sorted_output=a.sorted_output, pass_filter=a.pass_filter,
         misalign_threshold=a.misalign_threshold, min_phred=a.min_phred,
         min_percent_above_phred=a.min_percent, phred_offset=a.phred_offset,
-        suppress=a.suppress)
+        suppress=a.suppress, ignore_mismatched_ids=a.ignore_mismatched_ids)
     cmdline = "snap-rna-tpu paired " + " ".join(pos + flags)
     for max_hits, max_dist in _sweep(a):
         if transcriptome_dir is None:

@@ -121,10 +121,15 @@ def open_read_supplier(path):
 
 
 def _pair_interleaved(reads):
-    """PairedReadMatcher: pair mates by qname from one stream."""
+    """PairedReadMatcher: pair mates by qname from one stream.
+
+    The key drops everything after the first space/tab and a trailing /1
+    or /2 (PairedReadMatcher.cpp:113-119)."""
     pending: dict[bytes, Read] = {}
     for r in reads:
         key = bytes(r.rid.split(b" ")[0].split(b"\t")[0])
+        if len(key) > 2 and key[-2:] in (b"/1", b"/2"):
+            key = key[:-2]
         mate = pending.pop(key, None)
         if mate is None:
             pending[key] = r
@@ -134,13 +139,53 @@ def _pair_interleaved(reads):
         raise ValueError(f"{len(pending)} reads had no mate in paired input")
 
 
-def open_paired_read_supplier(path0, path1=None):
-    """Paired supplier: two FASTQs in lockstep, or one interleaved SAM/BAM."""
+def read_ids_match(id0: bytes, id1: bytes) -> bool:
+    """Mate IDs match up to the first space or '/' (readIdsMatch,
+    SAM.cpp: byte compare that stops at NUL/' '/'/', so foo/1 pairs with
+    foo/2)."""
+    for i in range(max(len(id0), len(id1)) + 1):
+        c0 = id0[i] if i < len(id0) else 0
+        c1 = id1[i] if i < len(id1) else 0
+        if c0 != c1:
+            return False
+        if c0 in (0, 0x20, 0x2F):
+            return True
+    return True
+
+
+def _check_pair_ids(pairs):
+    for r0, r1 in pairs:
+        if not read_ids_match(r0.rid, r1.rid):
+            raise ValueError(
+                f"Unmatched read IDs {r0.rid!r} and {r1.rid!r}.  "
+                "Use the -I option to ignore this.")
+        yield r0, r1
+
+
+def open_paired_read_supplier(path0, path1=None, check_ids: bool = True):
+    """Paired supplier: two FASTQs in lockstep, one interleaved input
+    (SAM/BAM/FASTQ — mates paired by qname, PairedReadMatcher.cpp:34-55),
+    or LISTS of paths processed as consecutive pairs (the reference's
+    'FASTQ files must come in pairs' multi-input form).
+
+    check_ids enforces the reference's mate-ID check (PairedAligner.cpp:445,
+    disabled there with -I); the interleaved path pairs BY id so it never
+    needs the check.
+    """
     from . import fastq as fq
+    if isinstance(path0, (list, tuple)):
+        p1s = path1 if isinstance(path1, (list, tuple)) else \
+            [path1] * len(path0)
+
+        def chain():
+            for a, b in zip(path0, p1s):
+                yield from open_paired_read_supplier(a, b, check_ids)
+        return chain()
     lower = str(path0).lower()
     if path1 is None or lower.endswith((".sam", ".bam")):
         return _pair_interleaved(open_read_supplier(path0))
-    return fq.read_paired_fastq(path0, path1)
+    pairs = fq.read_paired_fastq(path0, path1)
+    return _check_pair_ids(pairs) if check_ids else pairs
 
 
 def open_multi_read_supplier(paths):

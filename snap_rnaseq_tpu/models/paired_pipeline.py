@@ -42,6 +42,7 @@ class PairedPipelineOptions:
     min_percent_above_phred: float = 90.0  # -fp
     phred_offset: int = 33               # -fo
     suppress: str = ""                   # -S: i=bam index, d=dup marking
+    ignore_mismatched_ids: bool = False  # -I (PairedAligner.cpp:445)
 
     def quality_ok(self, read) -> bool:
         return quality_filter(read, self.min_percent_above_phred,
@@ -136,7 +137,8 @@ class PairedEndPipeline:
                 builder.flush(out)
                 self.wait.write_s += time.time() - tw
 
-            for r0, r1 in open_paired_read_supplier(fq0, fq1):
+            for r0, r1 in open_paired_read_supplier(
+                    fq0, fq1, check_ids=not opt.ignore_mismatched_ids):
                 stats.total_reads += 2
                 clip_read(r0, opt.clipping)
                 clip_read(r1, opt.clipping)

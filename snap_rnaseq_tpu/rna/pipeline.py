@@ -342,7 +342,8 @@ class RnaPairedEndPipeline(_RnaBase):
                         stats.aligned_as_pairs += 2
                 builder.flush(out)
 
-            for r0, r1 in open_paired_read_supplier(fq0, fq1):
+            for r0, r1 in open_paired_read_supplier(
+                    fq0, fq1, check_ids=not getattr(opt, 'ignore_mismatched_ids', False)):
                 stats.total_reads += 2
                 clip_read(r0, opt.clipping)
                 clip_read(r1, opt.clipping)

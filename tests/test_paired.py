@@ -97,3 +97,94 @@ def test_paired_pipeline_sam(tmp_path, sim):
             assert a[6] == "=" and b[6] == "="
             tlen_a, tlen_b = int(a[8]), int(b[8])
             assert tlen_a == -tlen_b and abs(tlen_a) == 300
+
+
+def test_read_ids_match():
+    from snap_rnaseq_tpu.io.readers import read_ids_match
+    assert read_ids_match(b"foo/1", b"foo/2")
+    assert read_ids_match(b"foo 1", b"foo 2")
+    assert read_ids_match(b"foo", b"foo")
+    assert not read_ids_match(b"foo", b"fop")
+    assert not read_ids_match(b"foo", b"foox")
+    assert not read_ids_match(b"foo/1", b"fo1/1")
+    # terminator must appear at the same position in both
+    assert not read_ids_match(b"foo 1", b"foox")
+
+
+def test_paired_inputs_variants(tmp_path, sim):
+    """Interleaved FASTQ, ID-mismatch error + -I, multi-pair inputs."""
+    idx, g, r0, r1, q, starts, FRAG, L = sim
+    from snap_rnaseq_tpu.cli import main as cli_main
+
+    idx_dir = tmp_path / "idx"
+    idx.save(str(idx_dir))
+    B = r0.shape[0]
+
+    def rec(name, arr):
+        return b"@" + name + b"\n" + decode_bases(arr) + b"\n+\n" + b"I" * L + b"\n"
+
+    # two-file baseline with /1 /2 suffixes
+    with open(tmp_path / "a1.fq", "wb") as f0, open(tmp_path / "a2.fq", "wb") as f1:
+        for i in range(B):
+            f0.write(rec(b"p%d/1" % i, r0[i]))
+            f1.write(rec(b"p%d/2" % i, r1[i]))
+    out0 = tmp_path / "two.sam"
+    assert cli_main(["paired", str(idx_dir), str(tmp_path / "a1.fq"),
+                     str(tmp_path / "a2.fq"), "-o", str(out0)]) == 0
+
+    def positions(path):
+        pos = {}
+        for l in open(path):
+            if l.startswith("@"):
+                continue
+            f = l.split("\t")
+            pos[(f[0], int(f[1]) & 0xC0)] = (f[2], f[3], int(f[1]) & 0x10)
+        return pos
+
+    base = positions(out0)
+    assert len(base) == 2 * B
+
+    # interleaved single file: mates adjacent, paired by qname
+    with open(tmp_path / "inter.fq", "wb") as f:
+        for i in range(B):
+            f.write(rec(b"p%d/1" % i, r0[i]))
+            f.write(rec(b"p%d/2" % i, r1[i]))
+    out1 = tmp_path / "inter.sam"
+    assert cli_main(["paired", str(idx_dir), str(tmp_path / "inter.fq"),
+                     "-o", str(out1)]) == 0
+    assert positions(out1) == base
+
+    # multiple r1/r2 pairs chained on the command line
+    half = B // 2
+    names = []
+    for part, sl in (("x", slice(0, half)), ("y", slice(half, B))):
+        with open(tmp_path / f"{part}1.fq", "wb") as f0, \
+             open(tmp_path / f"{part}2.fq", "wb") as f1:
+            for i in range(B)[sl]:
+                f0.write(rec(b"p%d/1" % i, r0[i]))
+                f1.write(rec(b"p%d/2" % i, r1[i]))
+    out2 = tmp_path / "multi.sam"
+    assert cli_main(["paired", str(idx_dir),
+                     str(tmp_path / "x1.fq"), str(tmp_path / "x2.fq"),
+                     str(tmp_path / "y1.fq"), str(tmp_path / "y2.fq"),
+                     "-o", str(out2)]) == 0
+    assert positions(out2) == base
+
+    # mismatched IDs: error without -I, accepted with -I
+    with open(tmp_path / "b2.fq", "wb") as f1:
+        for i in range(B):
+            f1.write(rec(b"q%d/2" % i, r1[i]))
+    out3 = tmp_path / "bad.sam"
+    with pytest.raises(ValueError, match="Unmatched read IDs"):
+        cli_main(["paired", str(idx_dir), str(tmp_path / "a1.fq"),
+                  str(tmp_path / "b2.fq"), "-o", str(out3)])
+    assert cli_main(["paired", str(idx_dir), str(tmp_path / "a1.fq"),
+                     str(tmp_path / "b2.fq"), "-I", "-o", str(out3)]) == 0
+
+    # compatibility no-ops parse: -t 4 -b -P --hp -G 3 -a z -bs 64
+    out4 = tmp_path / "compat.sam"
+    assert cli_main(["paired", str(idx_dir), str(tmp_path / "a1.fq"),
+                     str(tmp_path / "a2.fq"), "-o", str(out4), "-t", "4",
+                     "-b", "-P", "--hp", "-G", "3", "-a", "z",
+                     "-bs", "64"]) == 0
+    assert positions(out4) == base
