@@ -391,16 +391,18 @@ class GTFReader:
             intron.increment_read_count()
             seg = jpos - tstart
             feats = self.interval_features(t.chr, gstart, gstart + seg - 1)
-            # deviation from the reference (documented): compatible ids come
-            # from the features' full transcript_ids sets rather than the
-            # first-wins singular id the reference stores per deduped exon
-            seg_ids = set().union(*(f.transcript_ids for f in feats)) if feats else set()
+            # each deduped feature contributes its SINGULAR first-inserted
+            # transcript_id, not its full transcript_ids set — the reference
+            # inserts (*it2)->transcript_id (GTFReader.cpp:1440-1454), and a
+            # duplicate exon keeps the first line's id (map insert no-op,
+            # GTFReader.cpp:1323)
+            seg_ids = {f.transcript_id for f in feats}
             ids = seg_ids if not ids else (ids & seg_ids)
             tstart += seg
             gstart += seg + intron.length
             length -= seg
         feats = self.interval_features(t.chr, gstart, gstart + length - 1)
-        seg_ids = set().union(*(f.transcript_ids for f in feats)) if feats else set()
+        seg_ids = {f.transcript_id for f in feats}
         ids = seg_ids if not ids else (ids & seg_ids)
         return ids
 
