@@ -109,3 +109,70 @@ def set_bam_flag(blob: bytes, flag_bits: int) -> bytes:
     b = bytearray(blob)
     struct.pack_into("<H", b, 18, flag)
     return bytes(b)
+
+
+# ----------------------------------------------------------------------
+# query side: .bai parsing + region -> candidate chunks (SAM spec §5.3)
+# ----------------------------------------------------------------------
+
+def read_bai(path: str) -> list[tuple[dict, list]]:
+    """Parse a .bai file -> per reference (bins{bin: [(vbeg, vend)]},
+    linear[list of min voffs per 16kb window])."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != BAI_MAGIC:
+        raise ValueError("not a BAI file")
+    n_ref = struct.unpack_from("<i", data, 4)[0]
+    off = 8
+    out = []
+    for _ in range(n_ref):
+        n_bin = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", data, off)
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                beg, end = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((beg, end))
+            bins[b] = chunks
+        n_intv = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        linear = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+        off += 8 * n_intv
+        out.append((bins, linear))
+    return out
+
+
+def reg2bins(beg: int, end: int) -> list[int]:
+    """All bins a [beg, end) region can fall in (SAM spec §5.3 algorithm)."""
+    end -= 1
+    bins = [0]
+    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    return bins
+
+
+def region_chunks(bai_ref: tuple[dict, list], beg: int, end: int):
+    """Candidate (vbeg, vend) chunks for a region, linear-index pruned,
+    sorted and merged."""
+    bins, linear = bai_ref
+    min_voff = 0
+    w = beg >> 14
+    if linear:
+        min_voff = linear[min(w, len(linear) - 1)]
+    chunks = []
+    for b in reg2bins(beg, end):
+        for cb, ce in bins.get(b, ()):
+            if ce > min_voff:
+                chunks.append((max(cb, min_voff), ce))
+    chunks.sort()
+    merged = []
+    for cb, ce in chunks:
+        if merged and cb <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+        else:
+            merged.append((cb, ce))
+    return merged

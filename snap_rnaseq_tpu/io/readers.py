@@ -70,32 +70,37 @@ def bam_records(path):
         block_size = struct.unpack_from("<i", data, off)[0]
         body = data[off + 4:off + 4 + block_size]
         off += 4 + block_size
-        (ref_id, pos, l_read_name, mapq, bin_, n_cigar, flag, l_seq,
-         next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", body)
-        p = 32
-        qname = body[p:p + l_read_name - 1]
-        p += l_read_name
-        cigar = []
-        for _ in range(n_cigar):
-            v = struct.unpack_from("<I", body, p)[0]
-            cigar.append((v >> 4, _BAM_CIGAR_CHARS[v & 0xF]))
-            p += 4
-        packed = body[p:p + (l_seq + 1) // 2]
-        p += (l_seq + 1) // 2
-        quals = body[p:p + l_seq]
-        p += l_seq
-        codes = np.frombuffer(packed, np.uint8)
-        hi = codes >> 4
-        lo = codes & 0xF
-        interleaved = np.empty(hi.size * 2, np.uint8)
-        interleaved[0::2] = hi
-        interleaved[1::2] = lo
-        seq = bytes(bytearray(_SEQ4_CHARS[c] for c in interleaved[:l_seq]))
-        qual = bytes((np.frombuffer(quals, np.uint8) + 33).astype(np.uint8)) \
-            if l_seq else b""
-        yield dict(qname=qname, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
-                   cigar=cigar, next_ref=next_ref, next_pos=next_pos,
-                   tlen=tlen, seq=seq, qual=qual, aux=body[p:], refs=refs)
+        yield _parse_bam_body(body, refs)
+
+
+def _parse_bam_body(body: bytes, refs) -> dict:
+    """Decode one BAM record body (everything after block_size)."""
+    (ref_id, pos, l_read_name, mapq, bin_, n_cigar, flag, l_seq,
+     next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", body)
+    p = 32
+    qname = body[p:p + l_read_name - 1]
+    p += l_read_name
+    cigar = []
+    for _ in range(n_cigar):
+        v = struct.unpack_from("<I", body, p)[0]
+        cigar.append((v >> 4, _BAM_CIGAR_CHARS[v & 0xF]))
+        p += 4
+    packed = body[p:p + (l_seq + 1) // 2]
+    p += (l_seq + 1) // 2
+    quals = body[p:p + l_seq]
+    p += l_seq
+    codes = np.frombuffer(packed, np.uint8)
+    hi = codes >> 4
+    lo = codes & 0xF
+    interleaved = np.empty(hi.size * 2, np.uint8)
+    interleaved[0::2] = hi
+    interleaved[1::2] = lo
+    seq = bytes(bytearray(_SEQ4_CHARS[c] for c in interleaved[:l_seq]))
+    qual = bytes((np.frombuffer(quals, np.uint8) + 33).astype(np.uint8)) \
+        if l_seq else b""
+    return dict(qname=qname, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
+                cigar=cigar, next_ref=next_ref, next_pos=next_pos,
+                tlen=tlen, seq=seq, qual=qual, aux=body[p:], refs=refs)
 
 
 def read_bam(path):
@@ -195,3 +200,146 @@ def open_multi_read_supplier(paths):
     too, so sequential chaining is equivalent)."""
     for p in paths:
         yield from open_read_supplier(p)
+
+
+# ----------------------------------------------------------------------
+# indexed region queries (.bai + BGZF virtual-offset seeking)
+# ----------------------------------------------------------------------
+
+class _BgzfSeekReader:
+    """Random access into a BGZF file by virtual offset.
+
+    A virtual offset packs (compressed block start << 16 | offset within
+    the decompressed block) — the same encoding our BaiBuilder emits and
+    the reference's bamIndex filter computes via its logical->physical
+    offset map (GzipDataWriter.h:63-74)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+
+    def close(self):
+        self._f.close()
+
+    def _block(self, coffset: int):
+        """Decompress the BGZF block at compressed offset -> (data, next)."""
+        import zlib
+        self._f.seek(coffset)
+        head = self._f.read(18)
+        if len(head) < 18:
+            return b"", None
+        bsize = struct.unpack_from("<H", head, 16)[0] + 1
+        rest = self._f.read(bsize - 18)
+        data = zlib.decompress(head + rest, 31)
+        return data, coffset + bsize
+
+    def records(self, vbeg: int, vend: int):
+        """Yield (voff, body) for records starting in [vbeg, vend)."""
+        coff = vbeg >> 16
+        buf = bytearray()
+        blocks = []                      # (start offset in buf, coffset)
+        next_coff = coff
+
+        def fill(need: int) -> bool:
+            nonlocal next_coff
+            while len(buf) < need and next_coff is not None:
+                blocks.append((len(buf), next_coff))
+                data, next_coff = self._block(next_coff)
+                if not data and next_coff is None:
+                    return len(buf) >= need
+                buf.extend(data)
+            return len(buf) >= need
+
+        def voff_at(p: int) -> int:
+            # last block whose buffer start is <= p (few blocks per chunk,
+            # linear scan is fine)
+            best = blocks[0]
+            for start, c in blocks:
+                if start <= p:
+                    best = (start, c)
+            return (best[1] << 16) | (p - best[0])
+
+        p = vbeg & 0xFFFF
+        while True:
+            if not fill(p + 4):
+                return
+            voff = voff_at(p)
+            if voff >= vend:
+                return
+            size = struct.unpack_from("<i", buf, p)[0]
+            if not fill(p + 4 + size):
+                return
+            yield voff, bytes(buf[p + 4:p + 4 + size])
+            p += 4 + size
+
+
+def bam_header_refs(path: str):
+    """(ref name, length) list straight from a BAM's header block."""
+    from . import bai as bai_mod
+    r = _BgzfSeekReader(path)
+    try:
+        data = bytearray()
+        coff = 0
+        while len(data) < 12:
+            blk, coff = r._block(coff)
+            if not blk:
+                break
+            data.extend(blk)
+        l_text = struct.unpack_from("<i", data, 4)[0]
+        need = 8 + l_text + 4
+        while len(data) < need + 8:
+            blk, coff = r._block(coff)
+            if not blk:
+                break
+            data.extend(blk)
+        n_ref = struct.unpack_from("<i", data, 8 + l_text)[0]
+        off = 12 + l_text
+        refs = []
+        for _ in range(n_ref):
+            while len(data) < off + 8:
+                blk, coff = r._block(coff)
+                data.extend(blk)
+            l_name = struct.unpack_from("<i", data, off)[0]
+            while len(data) < off + 8 + l_name:
+                blk, coff = r._block(coff)
+                data.extend(blk)
+            name = bytes(data[off + 4:off + 4 + l_name - 1]).decode()
+            l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
+            refs.append((name, l_ref))
+            off += 8 + l_name
+        return refs
+    finally:
+        r.close()
+
+
+def bam_query(path: str, ref: str | int, beg: int, end: int,
+              bai_path: str | None = None):
+    """Yield record dicts overlapping [beg, end) on `ref` (0-based
+    half-open), using the .bai the sorted-BAM writer produced.
+
+    The binning/linear index walk follows SAM spec §5.3 (reg2bins +
+    16kb-window pruning); record overlap is judged on the reference span
+    implied by the CIGAR, like samtools view region semantics."""
+    from .bai import bam_record_span, read_bai, region_chunks
+    refs = bam_header_refs(path)
+    if isinstance(ref, int):
+        ref_id = ref
+    else:
+        names = [n for n, _ in refs]
+        ref_id = names.index(ref)
+    bai = read_bai(bai_path or path + ".bai")
+    if ref_id >= len(bai):
+        return
+    reader = _BgzfSeekReader(path)
+    try:
+        for vbeg, vend in region_chunks(bai[ref_id], beg, end):
+            for voff, body in reader.records(vbeg, vend):
+                rid, pos, rend, _flag = bam_record_span(
+                    struct.pack("<i", len(body)) + body)
+                if rid != ref_id or pos >= end:
+                    continue
+                if rend <= beg:
+                    continue
+                rec = _parse_bam_body(body, refs)
+                yield rec
+    finally:
+        reader.close()

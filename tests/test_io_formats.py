@@ -166,3 +166,40 @@ def test_sorted_bam_dupmark_and_index(tmp_path):
     writer2.close()
     assert not os.path.exists(path2 + ".bai")
     assert all(r["flag"] & 0x400 == 0 for r in bam_records(path2))
+
+
+def test_bam_region_query(tmp_path):
+    """bai-backed region queries return exactly the overlapping records."""
+    from snap_rnaseq_tpu.io.writers import open_output
+    from snap_rnaseq_tpu.io.readers import bam_query, bam_header_refs
+    rng = np.random.default_rng(12)
+    genome = genome_from_codes(rng.integers(0, 4, 400000, dtype=np.uint8),
+                               name="chr1")
+    header = make_header(genome, sorted_output=True)
+    path = str(tmp_path / "big.bam")
+    writer, _ = open_output(path, genome, header, sorted_output=True,
+                            mark_duplicates=False)
+    N, L = 3000, 80
+    positions = sorted(int(p) for p in
+                       rng.integers(0, 400000 - L, N))
+    for i, pos in enumerate(positions):
+        writer.write_record(pos, pack_bam_record(
+            b"r%05d" % i, 0, 0, pos, 60, [(L, "=")], -1, -1, 0,
+            b"A" * L, b"I" * L, pack_aux(None, None, 0)))
+    writer.close()
+
+    refs = bam_header_refs(path)
+    assert refs[0][0] == "chr1"
+
+    all_recs = list(bam_records(path))
+    assert len(all_recs) == N
+
+    for beg, end in ((0, 1000), (123456, 133456), (399000, 400000),
+                     (200000, 200001), (0, 400000)):
+        want = sorted(r["qname"] for r in all_recs
+                      if r["pos"] < end and r["pos"] + L > beg)
+        got = sorted(r["qname"] for r in bam_query(path, "chr1", beg, end))
+        assert got == want, (beg, end, len(got), len(want))
+    # empty region
+    assert list(bam_query(path, 0, 399999, 400000)) in ([],) or all(
+        r["pos"] + L > 399999 for r in bam_query(path, 0, 399999, 400000))
