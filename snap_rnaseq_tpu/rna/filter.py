@@ -444,3 +444,121 @@ def characterize_seeds(index: GenomeIndex, codes: np.ndarray,
                 if loc >= 0:
                     rc_map.setdefault(loc, set()).add(p)
     return fwd_map, rc_map
+
+
+# ----------------------------------------------------------------------
+# device-side batched CharacterizeSeeds
+# ----------------------------------------------------------------------
+
+def _characterize_batch_jit():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import lookup as lk
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("positions", "seed_len", "genome_size", "max_hits",
+                         "read_len", "cpr"))
+    def run(reads, ht_entries, shard_start, shard_size, overflow, *,
+            positions, seed_len, genome_size, max_hits, read_len, cpr):
+        packed = lk.pack_seeds(reads, positions, seed_len)
+        found, fv, rv = lk.lookup_seeds(packed, ht_entries, shard_start,
+                                        shard_size)
+        cf, bf = lk.expand_counts(fv, overflow, genome_size)
+        cr, br = lk.expand_counts(rv, overflow, genome_size)
+        okf = found & packed["valid"] & (cf > 0) & (cf <= max_hits)
+        okr = found & packed["valid"] & (cr > 0) & (cr <= max_hits)
+        used2 = jnp.concatenate([jnp.where(okf, cf, 0),
+                                 jnp.where(okr, cr, 0)], axis=1)   # (B, 2S)
+        B, S2 = used2.shape
+        S = S2 // 2
+        cum = jnp.cumsum(used2, axis=1)
+        total = cum[:, -1]
+        slots = jnp.arange(cpr, dtype=jnp.int32)
+        group = jax.vmap(
+            lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
+        group = jnp.minimum(group, S2 - 1).astype(jnp.int32)
+        live = slots[None, :] < jnp.minimum(total, cpr)[:, None]
+        prev = jnp.concatenate(
+            [jnp.zeros((B, 1), cum.dtype), cum[:, :-1]], axis=1)
+        within = slots[None, :] - jnp.take_along_axis(prev, group, axis=1)
+        g_base = jnp.take_along_axis(
+            jnp.concatenate([bf, br], axis=1), group, axis=1)
+        g_val = jnp.take_along_axis(
+            jnp.concatenate([fv, rv], axis=1), group, axis=1)
+        hit = lk.gather_hit(within, None, g_base, g_val, overflow)
+        s_idx = jnp.where(group < S, group, group - S)
+        is_rc = group >= S
+        pos_arr = jnp.asarray(positions, jnp.int32)[s_idx]
+        adj = jnp.where(is_rc, read_len - seed_len - pos_arr, pos_arr)
+        loc = hit.astype(jnp.int32) - adj
+        return dict(loc=loc, seed_off=pos_arr, is_rc=is_rc, live=live,
+                    total=total)
+
+    return run
+
+
+class BatchCharacterizer:
+    """Device analog of BaseAligner::CharacterizeSeeds over a whole batch.
+
+    One dispatch computes every read's per-seed hit locations (the host
+    fallback `characterize_seeds` walks each read's seeds in Python); rows
+    whose hit total overflows the static slot budget fall back to the host
+    walk, so the maps are always exact.
+    """
+
+    def __init__(self, index: GenomeIndex, dev_arrays: dict,
+                 genome_size: int, max_seeds: int = 12,
+                 max_hits: int = 300, slots: int = 512):
+        self.index = index
+        self._dev = dev_arrays
+        self.genome_size = genome_size
+        self.max_seeds = max_seeds
+        self.max_hits = max_hits
+        self.slots = slots
+        self._run = _characterize_batch_jit()
+
+    def characterize(self, codes: np.ndarray):
+        """codes: (B, L) uint8 batch -> per-read lazy (fwd_map, rc_map)."""
+        B, L = codes.shape
+        positions, _ = seed_position_schedule(L, self.index.seed_len)
+        positions = tuple(int(p) for p in positions[:self.max_seeds])
+        if not positions:
+            return lambda i: ({}, {})
+        import jax.numpy as jnp
+        out = self._run(jnp.asarray(codes), self._dev["ht_entries"],
+                        self._dev["shard_start"], self._dev["shard_size"],
+                        self._dev["overflow"], positions=positions,
+                        seed_len=self.index.seed_len,
+                        genome_size=self.genome_size,
+                        max_hits=self.max_hits, read_len=L, cpr=self.slots)
+        res = {k: np.asarray(v) for k, v in out.items()}
+        cache: dict[int, tuple] = {}
+
+        def row(i: int):
+            got = cache.get(i)
+            if got is not None:
+                return got
+            if int(res["total"][i]) > self.slots:
+                got = characterize_seeds(self.index, codes[i],
+                                         self.max_seeds, self.max_hits)
+            else:
+                fwd_map: dict[int, set] = {}
+                rc_map: dict[int, set] = {}
+                live = res["live"][i]
+                locs = res["loc"][i]
+                offs = res["seed_off"][i]
+                rcs = res["is_rc"][i]
+                for j in np.nonzero(live)[0]:
+                    loc = int(locs[j])
+                    if loc < 0:
+                        continue
+                    m = rc_map if rcs[j] else fwd_map
+                    m.setdefault(loc, set()).add(int(offs[j]))
+                got = (fwd_map, rc_map)
+            cache[i] = got
+            return got
+        return row

@@ -40,7 +40,7 @@ from ..utils.stats import AlignerStats
 from ..utils.tables import BASE_VALUE
 from .contamination import ContaminationFilter
 from .filter import (MULTIPLE_HITS, SINGLE_HIT, AlignmentFilter,
-                     characterize_seeds)
+                     BatchCharacterizer, characterize_seeds)
 from .gtf import GTFReader
 from .splice import insert_splice_junctions
 
@@ -228,6 +228,11 @@ class RnaPairedEndPipeline(_RnaBase):
                           if self.contamination_index else None)
         if self.c_aligner:
             self.c_filter = ContaminationFilter(self.contamination_index.genome)
+        # device-side CharacterizeSeeds over the genome index, shared with
+        # the paired aligner's HBM copies (rna/filter.py BatchCharacterizer)
+        self._bchar = BatchCharacterizer(self.genome_index,
+                                         self.g_aligner._dev,
+                                         self.g_aligner.genome_size)
         self.stats = AlignerStats()
 
     def run(self, fq0: str, fq1: str, out_path: str,
@@ -258,6 +263,8 @@ class RnaPairedEndPipeline(_RnaBase):
                 g_dev = self.g_aligner.align_batch_device(c0, q0, c1, q1)
                 t_dev0 = self.t_aligner.align_batch_device(c0, q0)
                 t_dev1 = self.t_aligner.align_batch_device(c1, q1)
+                char_rows = (self._bchar.characterize(b0.codes),
+                             self._bchar.characterize(b1.codes))
                 g_res = {k: np.asarray(v) for k, v in g_dev.items()}
                 t_res0 = {k: np.asarray(v) for k, v in t_dev0.items()}
                 t_res1 = {k: np.asarray(v) for k, v in t_dev1.items()}
@@ -269,8 +276,8 @@ class RnaPairedEndPipeline(_RnaBase):
                         maxk, self.genome_index.seed_len,
                         read_lens=(r0.data_length, r1.data_length),
                         read_ids=(r0.rid, r1.rid),
-                        characterizer=self._characterizer_for(
-                            (b0.codes[i], b1.codes[i])))
+                        characterizer=(
+                            lambda e, _i=i: char_rows[e](_i)))
                     # transcriptome multi-hits per end (mapq 0, like the
                     # reference's multi-hit AddAlignment calls)
                     for e, tr in ((0, t_res0), (1, t_res1)):

@@ -218,3 +218,45 @@ def test_rna_paired_end(rna_dir, tmp_path):
                   open(str(tmp_path / "rna_paired") +
                        ".transcript_id.counts.txt").read().splitlines())
     assert float(counts["T1"]) == 1.0
+
+
+def test_batch_characterizer_matches_host(tmp_path):
+    """Device-side CharacterizeSeeds == the host per-read walk."""
+    import numpy as np
+    from snap_rnaseq_tpu.index.genome import genome_from_codes
+    from snap_rnaseq_tpu.index.hash_index import build_index
+    from snap_rnaseq_tpu.models.single import SingleAligner
+    from snap_rnaseq_tpu.rna.filter import (BatchCharacterizer,
+                                            characterize_seeds)
+    from snap_rnaseq_tpu.utils.tables import reverse_complement_codes
+
+    rng = np.random.default_rng(21)
+    codes = rng.integers(0, 4, 120000, dtype=np.uint8)
+    # a repeated block so some seeds have multi-hit overflow lists
+    codes[40000:40200] = codes[1000:1200]
+    g = genome_from_codes(codes)
+    idx = build_index(g, seed_len=20)
+    al = SingleAligner(idx)
+
+    B, L = 24, 100
+    reads = np.zeros((B, L), np.uint8)
+    pad = int(g.piece_offsets[0])
+    for i in range(B):
+        s = pad + int(rng.integers(0, 120000 - L))
+        r = np.asarray(g.codes[s:s + L]).copy()
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(0, L))
+            r[p] = (r[p] + int(rng.integers(1, 4))) % 4
+        if i % 3 == 0:
+            r = reverse_complement_codes(r)
+        if i == 5:
+            r[:] = 4            # all-N: no valid seeds
+        reads[i] = r
+
+    bc = BatchCharacterizer(idx, al._dev, al.genome_size)
+    rows = bc.characterize(reads)
+    for i in range(B):
+        fwd_d, rc_d = rows(i)
+        fwd_h, rc_h = characterize_seeds(idx, reads[i])
+        assert fwd_d == fwd_h, i
+        assert rc_d == rc_h, i
