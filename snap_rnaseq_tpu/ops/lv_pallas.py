@@ -42,11 +42,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .lv import _d_order, LOG_GAP_EXTEND, LOG_GAP_OPEN, LOG_ONE_MINUS_SNP
 
-def lv_tile(e_max: int) -> int:
-    """Candidates per grid step — bounded by the 16MB scoped VMEM holding
-    a few (T, D, P) int32 temporaries; narrow bands afford bigger tiles."""
+def lv_tile(e_max: int, P: int = 100, keep_tables: bool = False) -> int:
+    """Candidates per grid step — bounded by the 16MB scoped VMEM.
+
+    The rows kernel's live set is ~a dozen (T, D, P)-ish int32 temporaries
+    (the nextmm scratch, rolled text planes, the suffix-min pipeline) plus,
+    with keep_tables, the (T, e_max+1, D) L/A tables.  Size the tile from
+    an explicit estimate with a 12MB target so wide-band CIGAR replays
+    (e_max=31, long patterns) stop tripping the 16MB scoped limit the
+    hard way (observed: 17.87M request at T=64, D=63, P=128)."""
     D = 2 * e_max + 1
-    return 64 if D > 16 else 128
+    per_cand = 12 * D * P * 4                   # temporaries + scratch
+    if keep_tables:
+        per_cand += 2 * (e_max + 1) * D * 4     # L/A blocks
+    budget = 12 * 1024 * 1024
+    t = budget // max(per_cand, 1)
+    t = int(min(128, max(8, (t // 8) * 8)))
+    return t
 
 ACT_X, ACT_D, ACT_I = 0, 1, 2
 NEG_INF = -1e30
@@ -262,7 +274,7 @@ def lv_distance_pallas_core(pattern, p_len, textp, t_len, k, qual_logp, *,
     TXT = textp.shape[1]
     assert TXT >= 2 * e_max + P, (TXT, e_max, P)
     D = 2 * e_max + 1
-    T = lv_tile(e_max)
+    T = lv_tile(e_max, P, keep_tables)
     Bp = ((B + T - 1) // T) * T
     if Bp != B:
         pad = Bp - B

@@ -67,6 +67,8 @@ def test_golden_single(tmp_path):
 
 
 if __name__ == "__main__":
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # regen runs without conftest
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         import tempfile
         os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
