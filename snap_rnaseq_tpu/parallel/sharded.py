@@ -121,21 +121,29 @@ class ShardedSingleAligner:
         self._pieces = put(index.genome.piece_offsets.astype(np.int32), P())
         self.genome_size = index.genome_size
 
-    def align_batch(self, reads: np.ndarray, quals: np.ndarray) -> dict:
+    def align_batch_device(self, reads, quals) -> dict:
+        """Same contract as SingleAligner.align_batch_device (device dict),
+        so the host pipelines can run on a mesh unchanged."""
+        reads = np.asarray(reads)
+        quals = np.asarray(quals)
         B, L = reads.shape
         if B % self.n_data:
             raise ValueError("batch must divide the data axis")
         positions, wraps = seed_position_schedule_cached(L, self.index.seed_len,
                                                          self.cfg.max_seed_slots)
-        out = _sharded_align(
+        return _sharded_align(
             jax.device_put(reads, NamedSharding(self.mesh, P("data"))),
             jax.device_put(quals, NamedSharding(self.mesh, P("data"))),
             self._ht["ht_entries"],
             self._ht["shard_start"], self._ht["shard_size"],
             self._ht["overflow"], self._genome, self._pieces,
             jnp.asarray(positions), jnp.asarray(wraps),
-            mesh=self.mesh, cfg=self.cfg, seed_len=self.index.seed_len,
+            mesh=self.mesh, cfg=self.cfg.resolve_for_read_len(L),
+            seed_len=self.index.seed_len,
             read_len=L, genome_size=self.genome_size, n_idx=self.n_idx)
+
+    def align_batch(self, reads: np.ndarray, quals: np.ndarray) -> dict:
+        out = self.align_batch_device(reads, quals)
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -220,14 +228,16 @@ class ShardedPairedAligner:
         self._pieces = put(index.genome.piece_offsets.astype(np.int32), P())
         self.genome_size = index.genome_size
 
-    def align_batch(self, reads0, quals0, reads1, quals1) -> dict:
+    def align_batch_device(self, reads0, quals0, reads1, quals1) -> dict:
+        reads0, quals0 = np.asarray(reads0), np.asarray(quals0)
+        reads1, quals1 = np.asarray(reads1), np.asarray(quals1)
         B, L = reads0.shape
         if B % self.n_data:
             raise ValueError("batch must divide the data axis")
         positions, wraps = seed_position_schedule_cached(
             L, self.index.seed_len, self.cfg.max_seed_slots)
         sharded = NamedSharding(self.mesh, P("data"))
-        out = _sharded_align_paired(
+        return _sharded_align_paired(
             jax.device_put(reads0, sharded), jax.device_put(quals0, sharded),
             jax.device_put(reads1, sharded), jax.device_put(quals1, sharded),
             self._ht["ht_entries"],
@@ -236,6 +246,9 @@ class ShardedPairedAligner:
             jnp.asarray(positions), jnp.asarray(wraps),
             mesh=self.mesh, cfg=self.cfg, seed_len=self.index.seed_len,
             read_len=L, genome_size=self.genome_size, n_idx=self.n_idx)
+
+    def align_batch(self, reads0, quals0, reads1, quals1) -> dict:
+        out = self.align_batch_device(reads0, quals0, reads1, quals1)
         return {k: np.asarray(v) for k, v in out.items()}
 
 

@@ -94,14 +94,18 @@ class RnaSingleEndPipeline(_RnaBase):
     def __init__(self, genome_dir, transcriptome_dir, annotation,
                  options: PipelineOptions | None = None,
                  contamination_dir: str | None = None,
-                 conf_diff: int = DEFAULT_CONF_DIFF, **aligner_overrides):
+                 conf_diff: int = DEFAULT_CONF_DIFF,
+                 g_aligner=None, t_aligner=None, **aligner_overrides):
         super().__init__(genome_dir, transcriptome_dir, annotation,
                          contamination_dir)
         self.opt = options or PipelineOptions()
         self.conf_diff = conf_diff
-        self.g_aligner = SingleAligner(self.genome_index, **aligner_overrides)
-        self.t_aligner = SingleAligner(self.transcriptome_index,
-                                       **aligner_overrides)
+        # injected aligners let the same pipeline run on a device mesh
+        # (parallel/sharded.py engines share align_batch_device's contract)
+        self.g_aligner = g_aligner or SingleAligner(self.genome_index,
+                                                    **aligner_overrides)
+        self.t_aligner = t_aligner or SingleAligner(self.transcriptome_index,
+                                                    **aligner_overrides)
         self.c_aligner = (SingleAligner(self.contamination_index)
                           if self.contamination_index else None)
         if self.c_aligner:
@@ -206,33 +210,42 @@ class RnaPairedEndPipeline(_RnaBase):
                  contamination_dir: str | None = None,
                  conf_diff: int = DEFAULT_CONF_DIFF,
                  transcriptome_multi_hits: int = 64,
-                 force_spacing: bool = False, **aligner_overrides):
+                 force_spacing: bool = False,
+                 g_aligner=None, t_aligner=None, **aligner_overrides):
         super().__init__(genome_dir, transcriptome_dir, annotation,
                          contamination_dir)
         self.opt = options or PairedPipelineOptions()
         self.conf_diff = conf_diff
         self.force_spacing = force_spacing
-        self.g_aligner = PairedAligner(self.genome_index,
-                                       min_spacing=self.opt.min_spacing,
-                                       max_spacing=self.opt.max_spacing,
-                                       **aligner_overrides)
+        self.g_aligner = g_aligner or PairedAligner(
+            self.genome_index, min_spacing=self.opt.min_spacing,
+            max_spacing=self.opt.max_spacing, **aligner_overrides)
         # transcriptome per-end aligner with multi-hit output; the reference
         # uses maxHitsToGet=1000 (PairedAligner.cpp:584) — we default to a
         # static 64-slot buffer (device shapes are fixed), configurable up
         t_over = dict(aligner_overrides)
         t_over.pop("max_hits_to_get", None)
-        self.t_aligner = SingleAligner(self.transcriptome_index,
-                                       max_hits_to_get=transcriptome_multi_hits,
-                                       **t_over)
+        self.t_aligner = t_aligner or SingleAligner(
+            self.transcriptome_index,
+            max_hits_to_get=transcriptome_multi_hits, **t_over)
         self.c_aligner = (PairedAligner(self.contamination_index)
                           if self.contamination_index else None)
         if self.c_aligner:
             self.c_filter = ContaminationFilter(self.contamination_index.genome)
         # device-side CharacterizeSeeds over the genome index, shared with
         # the paired aligner's HBM copies (rna/filter.py BatchCharacterizer)
-        self._bchar = BatchCharacterizer(self.genome_index,
-                                         self.g_aligner._dev,
-                                         self.g_aligner.genome_size)
+        if hasattr(self.g_aligner, "_dev"):
+            bchar_dev = self.g_aligner._dev
+        else:
+            # mesh-sharded genome aligner: replicate fresh copies for the
+            # characterizer (its arrays are the unsharded index layout)
+            import jax.numpy as _jnp
+            arrs = self.genome_index.device_arrays()
+            bchar_dev = {k: _jnp.asarray(arrs[k]) for k in
+                         ("ht_entries", "shard_start", "shard_size",
+                          "overflow")}
+        self._bchar = BatchCharacterizer(self.genome_index, bchar_dev,
+                                         self.genome_index.genome_size)
         self.stats = AlignerStats()
 
     def run(self, fq0: str, fq1: str, out_path: str,
