@@ -155,12 +155,17 @@ def cmd_index(argv):
     p.add_argument("-hg19", action="store_true",
                    help="accepted for reference compatibility (bias tables are "
                         "unnecessary here: shard sizes come from exact counts)")
+    p.add_argument("-chunked", action="store_true",
+                   help="memory-bounded build: spill seed buckets to disk, "
+                        "sort per shard (bit-identical output; use for "
+                        "genome-scale references)")
     a = p.parse_args(argv)
     from .index.genome import read_fasta_genome
-    from .index.hash_index import build_index
+    from .index.hash_index import build_index, build_index_chunked
     t0 = time.time()
     genome = read_fasta_genome(a.fasta)
-    idx = build_index(genome, a.seed_len, load_factor=a.load_factor, verbose=True)
+    builder = build_index_chunked if a.chunked else build_index
+    idx = builder(genome, a.seed_len, load_factor=a.load_factor, verbose=True)
     idx.save(a.directory)
     dt = time.time() - t0
     print(f"indexed {genome.num_bases:,} bases in {dt:.1f}s "

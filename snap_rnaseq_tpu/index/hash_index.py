@@ -211,61 +211,11 @@ def build_index(genome: Genome, seed_len: int, load_factor: float = 0.7,
     cl = locs[order]
     del canonical, half, locs, order
 
-    # (key, half) group boundaries
-    new_group = np.empty(ck.shape[0], dtype=bool)
-    new_group[0] = True
-    np.logical_or(ck[1:] != ck[:-1], ch[1:] != ch[:-1], out=new_group[1:])
-    group_start = np.nonzero(new_group)[0]
-    group_count = np.diff(np.append(group_start, ck.shape[0]))
-    n_groups = group_start.shape[0]
-
-    genome_size = np.uint32(genome.num_bases)
-
-    # overflow layout: concatenated [count, locs...] for every group with >=2 hits
-    is_multi = group_count >= 2
-    multi_counts = group_count[is_multi]
-    entry_sizes = multi_counts + 1
-    entry_starts = np.concatenate(([0], np.cumsum(entry_sizes)))[:-1]
-    overflow_len = int(entry_sizes.sum()) if multi_counts.size else 0
+    (distinct_keys, val1, val2, overflow, multi_entry_starts,
+     multi_keys) = _grouped_tables(ck, ch, cl, genome.num_bases, 0)
+    overflow_len = overflow.shape[0]
     if genome.num_bases + overflow_len > 0xFFFFFFF0:
         raise ValueError("overflow table too large; use a longer seed")
-    overflow = np.empty(overflow_len, dtype=np.uint32)
-    if overflow_len:
-        overflow[entry_starts] = multi_counts.astype(np.uint32)
-        # scatter member locations: rank-within-group + per-group base
-        multi_group_idx = np.nonzero(is_multi)[0]
-        # map each element to its group id
-        elem_group = np.cumsum(new_group) - 1
-        in_multi = is_multi[elem_group]
-        # rank within group for every element
-        rank = np.arange(ck.shape[0], dtype=np.int64) - group_start[elem_group]
-        # overflow slot id of each multi-group, aligned with group ids
-        slot_of_group = np.full(n_groups, -1, dtype=np.int64)
-        slot_of_group[multi_group_idx] = entry_starts
-        dest = slot_of_group[elem_group[in_multi]] + 1 + rank[in_multi]
-        overflow[dest] = cl[in_multi]
-
-    # per-(key,half) value
-    group_value = np.where(is_multi,
-                           genome_size + entry_starts_at(is_multi, entry_starts),
-                           cl[group_start].astype(np.uint64)).astype(np.uint32)
-
-    # collapse to distinct keys: (value1, value2)
-    key_of_group = ck[group_start]
-    half_of_group = ch[group_start]
-    new_key = np.empty(n_groups, dtype=bool)
-    new_key[0] = True
-    np.not_equal(key_of_group[1:], key_of_group[:-1], out=new_key[1:])
-    key_start = np.nonzero(new_key)[0]
-    n_keys = key_start.shape[0]
-    distinct_keys = key_of_group[key_start]
-
-    val1 = np.full(n_keys, _UNUSED, dtype=np.uint32)
-    val2 = np.full(n_keys, _UNUSED, dtype=np.uint32)
-    key_id_of_group = np.cumsum(new_key) - 1
-    h0 = half_of_group == 0
-    val1[key_id_of_group[h0]] = group_value[h0]
-    val2[key_id_of_group[~h0]] = group_value[~h0]
     del ck, ch, cl
 
     # shard by high bases; distinct_keys are sorted so shards are contiguous
@@ -288,12 +238,8 @@ def build_index(genome: Genome, seed_len: int, load_factor: float = 0.7,
 
     # overflow entries are in canonical order, so each logical shard owns a
     # contiguous overflow range; record the boundaries for index sharding
-    multi_shards = (key_of_group[is_multi] >> np.uint64(32)).astype(np.int64)
-    entry_ext = np.append(entry_starts, overflow_len).astype(np.int64)
-    bounds = np.searchsorted(multi_shards, np.arange(n_shards + 1))
-    shard_ovf_starts = entry_ext[np.minimum(bounds, len(entry_ext) - 1)] \
-        if len(entry_ext) else np.zeros(n_shards + 1, np.int64)
-    shard_ovf_starts[-1] = overflow_len
+    shard_ovf_starts = _ovf_shard_bounds(multi_keys, multi_entry_starts,
+                                         overflow_len, n_shards)
 
     return GenomeIndex(genome=genome, seed_len=seed_len,
                        ht_keys=ht_keys, ht_val1=ht_val1, ht_val2=ht_val2,
@@ -306,6 +252,76 @@ def entry_starts_at(is_multi: np.ndarray, entry_starts: np.ndarray) -> np.ndarra
     out = np.zeros(is_multi.shape[0], dtype=np.uint64)
     out[is_multi] = entry_starts.astype(np.uint64)
     return out
+
+
+def _grouped_tables(ck, ch, cl, num_bases, ovf_base):
+    """Core grouping over a SORTED (canonical, half, desc-location) triple.
+
+    Works on any canonical-contiguous slice of the seed stream (the whole
+    genome, or one shard's bucket in the chunked builder); overflow
+    pointers are emitted relative to `ovf_base` so per-shard chunks
+    concatenate into one global overflow table.
+
+    Returns (distinct_keys u64, val1, val2, overflow_chunk u32,
+    multi_entry_starts int64 absolute, multi_keys u64).
+    """
+    n = ck.shape[0]
+    if n == 0:
+        z32 = np.zeros(0, np.uint32)
+        return (np.zeros(0, np.uint64), z32, z32, z32,
+                np.zeros(0, np.int64), np.zeros(0, np.uint64))
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    np.logical_or(ck[1:] != ck[:-1], ch[1:] != ch[:-1], out=new_group[1:])
+    group_start = np.nonzero(new_group)[0]
+    group_count = np.diff(np.append(group_start, n))
+    n_groups = group_start.shape[0]
+
+    genome_size = np.uint32(num_bases)
+
+    # overflow layout: concatenated [count, locs...] for every group with >=2 hits
+    is_multi = group_count >= 2
+    multi_counts = group_count[is_multi]
+    entry_sizes = multi_counts + 1
+    entry_starts = np.concatenate(([0], np.cumsum(entry_sizes)))[:-1]
+    overflow_len = int(entry_sizes.sum()) if multi_counts.size else 0
+    overflow = np.empty(overflow_len, dtype=np.uint32)
+    if overflow_len:
+        overflow[entry_starts] = multi_counts.astype(np.uint32)
+        multi_group_idx = np.nonzero(is_multi)[0]
+        elem_group = np.cumsum(new_group) - 1
+        in_multi = is_multi[elem_group]
+        rank = np.arange(n, dtype=np.int64) - group_start[elem_group]
+        slot_of_group = np.full(n_groups, -1, dtype=np.int64)
+        slot_of_group[multi_group_idx] = entry_starts
+        dest = slot_of_group[elem_group[in_multi]] + 1 + rank[in_multi]
+        overflow[dest] = cl[in_multi]
+
+    # per-(key,half) value (overflow pointers rebased by ovf_base)
+    group_value = np.where(
+        is_multi,
+        genome_size + np.uint64(ovf_base) + entry_starts_at(is_multi, entry_starts),
+        cl[group_start].astype(np.uint64)).astype(np.uint32)
+
+    # collapse to distinct keys: (value1, value2)
+    key_of_group = ck[group_start]
+    half_of_group = ch[group_start]
+    new_key = np.empty(n_groups, dtype=bool)
+    new_key[0] = True
+    np.not_equal(key_of_group[1:], key_of_group[:-1], out=new_key[1:])
+    key_start = np.nonzero(new_key)[0]
+    n_keys = key_start.shape[0]
+    distinct_keys = key_of_group[key_start]
+
+    val1 = np.full(n_keys, _UNUSED, dtype=np.uint32)
+    val2 = np.full(n_keys, _UNUSED, dtype=np.uint32)
+    key_id_of_group = np.cumsum(new_key) - 1
+    h0 = half_of_group == 0
+    val1[key_id_of_group[h0]] = group_value[h0]
+    val2[key_id_of_group[~h0]] = group_value[~h0]
+    return (distinct_keys.astype(np.uint64), val1, val2, overflow,
+            entry_starts.astype(np.int64) + ovf_base,
+            key_of_group[is_multi].astype(np.uint64))
 
 
 def _insert_all(ht_keys, ht_val1, ht_val2, shard_starts, shard_sizes,
@@ -350,3 +366,162 @@ def _insert_all(ht_keys, ht_val1, ht_val2, shard_starts, shard_sizes,
             print(f"  insert round {round_no}: {pending.size} pending")
         if round_no > 10000:
             raise RuntimeError("hash insertion failed to converge")
+
+
+def _ovf_shard_bounds(multi_keys, multi_entry_starts, overflow_len, n_shards):
+    """Per-shard overflow range boundaries from the ordered multi-groups."""
+    multi_shards = (multi_keys >> np.uint64(32)).astype(np.int64)
+    entry_ext = np.append(multi_entry_starts, overflow_len).astype(np.int64)
+    bounds = np.searchsorted(multi_shards, np.arange(n_shards + 1))
+    if len(entry_ext):
+        out = entry_ext[np.minimum(bounds, len(entry_ext) - 1)].copy()
+    else:
+        out = np.zeros(n_shards + 1, np.int64)
+    out[-1] = overflow_len
+    return out
+
+
+def build_index_chunked(genome: Genome, seed_len: int,
+                        load_factor: float = 0.7, verbose: bool = False,
+                        chunk: int = 16_000_000,
+                        tmpdir: str | None = None) -> GenomeIndex:
+    """Memory-bounded builder for genome-scale references.
+
+    Produces BIT-IDENTICAL output to build_index, but never materializes
+    the whole seed stream in RAM at once:
+
+      pass A  pack seeds chunk-by-chunk, count seeds per logical shard;
+      pass B  re-pack and scatter (key, half, loc) into disk-backed
+              per-shard buckets (np.memmap spill, ~9 bytes/seed on disk);
+      pass C  per shard: load its bucket (1/4^(seedLen-16) of the stream),
+              lexsort, run the same grouping core (_grouped_tables) and
+              append to the global tables.
+
+    Peak RAM is O(chunk + largest shard + final index arrays) instead of
+    O(seed stream x sort workspace) — the difference between ~50GB of
+    transient overhead and ~1GB at hg19 scale.  The reference bounds build
+    memory with approximate counters + precomputed bias tables instead
+    (GenomeIndex.cpp:1109-1578); exact bucket spill needs neither.
+    """
+    import tempfile
+
+    if not MIN_SEED_LENGTH <= seed_len <= MAX_SEED_LENGTH:
+        raise ValueError(
+            f"seed length must be in [{MIN_SEED_LENGTH}, {MAX_SEED_LENGTH}]")
+    if genome.num_bases >= 0xFFFFFFF0:
+        raise ValueError("genome too large for 32-bit locations")
+
+    from .seeds import pack_all_seeds
+    n_shards = 4 ** max(0, seed_len - 16)
+    codes = genome.codes
+    n_pos = genome.num_bases - seed_len + 1
+    tail = seed_len - 1
+
+    def chunks():
+        for start in range(0, n_pos, chunk):
+            stop = min(start + chunk, n_pos)
+            fwd, rc, valid = pack_all_seeds(
+                np.asarray(codes[start:stop + tail]), seed_len)
+            canonical = np.minimum(fwd, rc)
+            half = (fwd > rc).astype(np.uint8)
+            locs = (np.nonzero(valid)[0] + start).astype(np.uint32)
+            yield canonical[valid], half[valid], locs
+
+    # pass A: per-shard seed counts
+    shard_counts = np.zeros(n_shards, np.int64)
+    for canonical, half, locs in chunks():
+        shard_counts += np.bincount(
+            (canonical >> np.uint64(32)).astype(np.int64),
+            minlength=n_shards)
+    n_valid = int(shard_counts.sum())
+    shard_off = np.concatenate(([0], np.cumsum(shard_counts)))
+
+    # pass B: spill (low-key, half, loc) into shard-bucketed memmaps
+    with tempfile.TemporaryDirectory(dir=tmpdir) as td:
+        bk = np.lib.format.open_memmap(
+            os.path.join(td, "bk.npy"), mode="w+", dtype=np.uint32,
+            shape=(n_valid,))
+        bh = np.lib.format.open_memmap(
+            os.path.join(td, "bh.npy"), mode="w+", dtype=np.uint8,
+            shape=(n_valid,))
+        bl = np.lib.format.open_memmap(
+            os.path.join(td, "bl.npy"), mode="w+", dtype=np.uint32,
+            shape=(n_valid,))
+        cursor = shard_off[:-1].copy()
+        for canonical, half, locs in chunks():
+            sh = (canonical >> np.uint64(32)).astype(np.int64)
+            order = np.argsort(sh, kind="stable")
+            sh_s = sh[order]
+            bounds = np.searchsorted(sh_s, np.arange(n_shards + 1))
+            present = np.nonzero(np.diff(bounds) > 0)[0]
+            ck_s = (canonical[order] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            ch_s = half[order]
+            cl_s = locs[order]
+            for s in present:
+                lo, hi = bounds[s], bounds[s + 1]
+                dst = cursor[s]
+                bk[dst:dst + hi - lo] = ck_s[lo:hi]
+                bh[dst:dst + hi - lo] = ch_s[lo:hi]
+                bl[dst:dst + hi - lo] = cl_s[lo:hi]
+                cursor[s] += hi - lo
+        assert (cursor == shard_off[1:]).all()
+
+        # pass C: per-shard sort + grouping, appended into global tables
+        keys_l, v1_l, v2_l, ovf_l = [], [], [], []
+        multi_keys_l, multi_starts_l = [], []
+        ovf_base = 0
+        for s in range(n_shards):
+            lo, hi = int(shard_off[s]), int(shard_off[s + 1])
+            if hi == lo:
+                continue
+            ck = np.asarray(bk[lo:hi])
+            ch = np.asarray(bh[lo:hi])
+            cl = np.asarray(bl[lo:hi])
+            order = np.lexsort((np.uint32(0xFFFFFFFF) - cl, ch, ck))
+            ck64 = ck[order].astype(np.uint64) | (np.uint64(s) << np.uint64(32))
+            (dk, v1, v2, ovf, m_starts, m_keys) = _grouped_tables(
+                ck64, ch[order], cl[order], genome.num_bases, ovf_base)
+            keys_l.append(dk)
+            v1_l.append(v1)
+            v2_l.append(v2)
+            ovf_l.append(ovf)
+            multi_keys_l.append(m_keys)
+            multi_starts_l.append(m_starts)
+            ovf_base += ovf.shape[0]
+            if verbose and s % 32 == 0:
+                print(f"  shard {s}/{n_shards}: {hi - lo:,} seeds")
+
+    cat = lambda lst, dt: (np.concatenate(lst) if lst
+                           else np.zeros(0, dt))
+    distinct_keys = cat(keys_l, np.uint64)
+    val1 = cat(v1_l, np.uint32)
+    val2 = cat(v2_l, np.uint32)
+    overflow = cat(ovf_l, np.uint32)
+    multi_keys = cat(multi_keys_l, np.uint64)
+    multi_entry_starts = cat(multi_starts_l, np.int64)
+    overflow_len = overflow.shape[0]
+    if genome.num_bases + overflow_len > 0xFFFFFFF0:
+        raise ValueError("overflow table too large; use a longer seed")
+
+    shard_of_key = (distinct_keys >> np.uint64(32)).astype(np.int64)
+    keys_per_shard = np.bincount(shard_of_key, minlength=n_shards)
+    shard_sizes = np.maximum(
+        2, np.ceil(keys_per_shard / load_factor).astype(np.int64) + 1)
+    shard_sizes[keys_per_shard == 0] = 0
+    shard_starts = np.concatenate(([0], np.cumsum(shard_sizes)))
+    total_slots = int(shard_starts[-1])
+
+    ht_keys = np.zeros(total_slots, dtype=np.uint32)
+    ht_val1 = np.full(total_slots, _EMPTY, dtype=np.uint32)
+    ht_val2 = np.zeros(total_slots, dtype=np.uint32)
+    _insert_all(ht_keys, ht_val1, ht_val2,
+                shard_starts, shard_sizes, shard_of_key,
+                (distinct_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                val1, val2, verbose=verbose)
+
+    shard_ovf_starts = _ovf_shard_bounds(multi_keys, multi_entry_starts,
+                                         overflow_len, n_shards)
+    return GenomeIndex(genome=genome, seed_len=seed_len,
+                       ht_keys=ht_keys, ht_val1=ht_val1, ht_val2=ht_val2,
+                       shard_starts=shard_starts, overflow=overflow,
+                       shard_ovf_starts=shard_ovf_starts)
