@@ -69,7 +69,8 @@ class PairedAlignerConfig:
             cand_per_read=self.cand_per_read,
             max_seed_slots=self.max_seed_slots,
             score_budget_per_read=self.score_budget_per_read,
-            compact_per_read=self.compact_per_read)
+            compact_per_read=self.compact_per_read,
+            seed_budget_per_position=True)
 
 
 def _dense_per_read(u, sc, in_prob_flags, B, K):

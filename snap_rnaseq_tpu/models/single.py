@@ -77,6 +77,13 @@ class SingleAlignerConfig:
     # read pooled); expansion slots are mostly duplicate hits of the same
     # location, so downstream phases shrink ~CPR/this; 0 disables
     compact_per_read: int = 32
+    # seed-budget accounting: the single-end BaseAligner counts each applied
+    # (seed, direction) separately against num_seeds
+    # (BaseAligner.cpp:336 `nSeedsApplied[FORWARD]+nSeedsApplied[RC] <
+    # maxSeedsToUse`, :494), while the paired IntersectingPairedEndAligner
+    # counts ONE hash-table lookup per seed position
+    # (IntersectingPairedEndAligner.cpp:266).  True = the paired semantics.
+    seed_budget_per_position: bool = False
 
     @property
     def e_max(self) -> int:
@@ -139,9 +146,17 @@ def budget_phase(valid, counts_global, wraps, cfg: SingleAlignerConfig):
         applied = valid[:, :, None] & (counts_global > 0)
     else:
         applied = valid[:, :, None] & ~popular              # (B,S,2)
-    applied_per_pos = applied.sum(axis=2)
-    cum_before = jnp.cumsum(applied_per_pos, axis=1) - applied_per_pos
-    active_pos = cum_before < cfg.num_seeds
+    if cfg.seed_budget_per_position:
+        # paired semantics: every VALID seed position consumes one unit of
+        # the budget — hit or miss, popular or not
+        # (IntersectingPairedEndAligner.cpp:266, :313)
+        lookups = valid.astype(jnp.int32)
+        cum_before = jnp.cumsum(lookups, axis=1) - lookups
+        active_pos = (cum_before < cfg.num_seeds) & valid
+    else:
+        applied_per_pos = applied.sum(axis=2)
+        cum_before = jnp.cumsum(applied_per_pos, axis=1) - applied_per_pos
+        active_pos = cum_before < cfg.num_seeds
     applied_act = applied & active_pos[:, :, None]
     n_applied_after = jnp.cumsum(applied_act.astype(jnp.int32), axis=1)
     most = (wraps + 1).astype(jnp.int32)[None, :, None]

@@ -188,3 +188,29 @@ def test_paired_inputs_variants(tmp_path, sim):
                      "-b", "-P", "--hp", "-G", "3", "-a", "z",
                      "-bs", "64"]) == 0
     assert positions(out4) == base
+
+
+def test_paired_seed_budget_counts_positions_not_directions(sim):
+    """The paired aligner budgets ONE lookup per seed position
+    (IntersectingPairedEndAligner.cpp:266), not per (seed, direction) like
+    the single-end BaseAligner.  With num_seeds=8 the schedule reaches
+    positions {0,20,40,60,80,10,30,50}; a read whose only clean 20-mer
+    starts at offset 10 aligns iff all 8 positions are actually tried."""
+    idx, g, *_ = sim
+    codes = np.asarray(g.codes)
+    pad = int(g.piece_offsets[0])
+    L = 100
+    s = pad + 12345
+    ins = 300
+    r0 = codes[s:s + L].copy()
+    r1 = reverse_complement_codes(codes[s + ins - L:s + ins].copy())
+    # SNPs leaving only the seed at offset 10 clean among the first 8
+    # schedule positions (they break 0,20,40,60,80,30,50 and 70+)
+    for p in (2, 30, 56, 60, 97):
+        r0[p] = (r0[p] + 1) % 4
+        r1[p] = (r1[p] + 1) % 4
+    q = np.full((1, L), ord("I"), np.uint8)
+    pa = PairedAligner(idx)
+    out = pa.align_batch(r0[None], q, r1[None], q)
+    assert bool(out["pair_found"][0])
+    assert int(out["loc0"][0]) == s
