@@ -140,11 +140,20 @@ def pair_phase(d0, d1, cfg: PairedAlignerConfig, popular0, popular1):
     log_pother = jnp.where(mass_o > 0, jnp.log(mass_o) + mx, NEG_INF)
 
     popular = popular0 + popular1
-    mapq = sg._compute_mapq(log_pall, best_logp, log_pother, best_score, popular)
+    # the reference hands computeMAPQ each END's score, not the pair sum
+    # (IntersectingPairedEndAligner.cpp:741 bestResultScore[whichRead]) —
+    # only the <5 special-70 gate differs between the two ends
+    rows_b = jnp.arange(B)
+    s0_best = d0["score"][rows_b, w // K]
+    s1_best = d1["score"][rows_b, w % K]
+    mapq0 = sg._compute_mapq(log_pall, best_logp, log_pother, s0_best, popular)
+    mapq1 = sg._compute_mapq(log_pall, best_logp, log_pother, s1_best, popular)
 
     return dict(pair_found=pair_found, w0=w0, w1=w1,
                 score=jnp.where(pair_found, best_score, -1),
-                mapq=jnp.where(pair_found, mapq, 0),
+                mapq=jnp.where(pair_found, jnp.minimum(mapq0, mapq1), 0),
+                mapq0=jnp.where(pair_found, mapq0, 0),
+                mapq1=jnp.where(pair_found, mapq1, 0),
                 log_pbest=best_logp, log_pall=log_pall)
 
 
@@ -204,10 +213,11 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
         p_dir = d["dir"][rows, wsel]
         p_scr = d["score"][rows, wsel]
         pf = pr["pair_found"]
-        mapq = jnp.where(pf, pr["mapq"], s["mapq"])
+        e_mapq = pr[f"mapq{e}"]
+        mapq = jnp.where(pf, e_mapq, s["mapq"])
         result = jnp.where(
             pf,
-            jnp.where(pr["mapq"] >= MAPQ_LIMIT_FOR_SINGLE_HIT, SINGLE_HIT,
+            jnp.where(e_mapq >= MAPQ_LIMIT_FOR_SINGLE_HIT, SINGLE_HIT,
                       MULTIPLE_HITS),
             s["result"])
         out[f"result{e}"] = result

@@ -293,10 +293,11 @@ def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
             s = ends[e]["single"]
             wsel = pr["w0"] if e == 0 else pr["w1"]
             pf = pr["pair_found"]
-            mapq = jnp.where(pf, pr["mapq"], s["mapq"])
+            e_mapq = pr[f"mapq{e}"]
+            mapq = jnp.where(pf, e_mapq, s["mapq"])
             out[f"result{e}"] = jnp.where(
                 pf,
-                jnp.where(pr["mapq"] >= MAPQ_LIMIT_FOR_SINGLE_HIT,
+                jnp.where(e_mapq >= MAPQ_LIMIT_FOR_SINGLE_HIT,
                           SINGLE_HIT, MULTIPLE_HITS),
                 s["result"])
             out[f"loc{e}"] = jnp.where(pf, d["loc"][rows, wsel], s["loc"])
