@@ -182,6 +182,34 @@ def test_mutated_reads_position_parity(oracle, tmp_path):
     assert agree == total, (total - agree, bad[:5])
 
 
+def test_wgsim_pairs_position_and_mapq_parity(oracle, tmp_path):
+    """SNP-dense wgsim-named pairs (1.5% SNP): positions AND MAPQ values
+    must match the reference binary record-for-record.  This is the case
+    class that caught the per-direction seed budget bug and the pair-sum
+    MAPQ gate bug (see PARITY.md)."""
+    from snap_rnaseq_tpu.cli import main as cli
+
+    out = tmp_path / "wg.sam"
+    assert cli(["paired", str(oracle / "genome_idx"),
+                str(oracle / "transcriptome_idx"),
+                str(oracle / "fix_ann.gtf"),
+                str(oracle / "fix_wg1.fq"), str(oracle / "fix_wg2.fq"),
+                "-o", str(out)]) == 0
+    def norm(recs):
+        # the reference's SAM writer trims the /1 /2 mate suffix; ours keeps
+        # the id as sequenced — normalize for the comparison
+        return {(k[0].split("/")[0], k[1]): v for k, v in recs.items()}
+
+    theirs = norm(_parse_sam(str(oracle / "fix_wg_oracle.sam")))
+    ours = norm(_parse_sam(str(out)))
+    assert set(ours) == set(theirs)
+    total, agree, bad = _position_agreement(theirs, ours)
+    assert agree == total, (total - agree, bad[:5])
+    mapq_bad = [(k, v[3], ours[k][3]) for k, v in theirs.items()
+                if v[3] >= 10 and ours[k][3] != v[3]]
+    assert not mapq_bad, mapq_bad[:8]
+
+
 def test_paired_reads_position_parity(oracle, tmp_path):
     """FR pairs, insert 200-400, one SNP per end, vs the reference binary's
     paired-end output (which itself ran on our exported index)."""
