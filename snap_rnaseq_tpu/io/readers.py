@@ -129,7 +129,13 @@ def _pair_interleaved(reads):
     """PairedReadMatcher: pair mates by qname from one stream.
 
     The key drops everything after the first space/tab and a trailing /1
-    or /2 (PairedReadMatcher.cpp:113-119)."""
+    or /2 (PairedReadMatcher.cpp:113-119).  Mates may arrive in any order
+    and any distance apart (the reference spills old unmatched reads to an
+    overflow map, PairedReadMatcher.cpp:120-138); reads whose mate never
+    appears are DROPPED with a warning at end of stream, mirroring the
+    reference's "discarding %d reads" path (PairedReadMatcher.cpp:104-110),
+    not an error."""
+    import sys
     pending: dict[bytes, Read] = {}
     for r in reads:
         key = bytes(r.rid.split(b" ")[0].split(b"\t")[0])
@@ -141,7 +147,8 @@ def _pair_interleaved(reads):
         else:
             yield mate, r
     if pending:
-        raise ValueError(f"{len(pending)} reads had no mate in paired input")
+        print(f"warning: discarding {len(pending)} unpaired reads "
+              "in paired input", file=sys.stderr)
 
 
 def read_ids_match(id0: bytes, id1: bytes) -> bool:

@@ -237,7 +237,19 @@ class SamRecordBuilder:
                 flags |= FLAG_NEXT_UNMAPPED
                 rnext, pnext = rname, pos
 
-        qname = read.rid.split(b" ")[0].split(b"\t")[0]
+        rid = read.rid
+        if mate is not None:
+            # Pairs must share one QNAME: truncate matching trailing /1 /2
+            # from the FULL ids before space-truncation, exactly the
+            # reference's check (ReadWriter.cpp:148-162 — equal lengths,
+            # '/' at len-2, last chars in {1,2} and different).
+            mid = mate["read"].rid
+            if (len(rid) == len(mid) and len(rid) > 2
+                    and rid[-2:-1] == b"/" and mid[-2:-1] == b"/"
+                    and rid[-1:] in (b"1", b"2") and mid[-1:] in (b"1", b"2")
+                    and rid[-1:] != mid[-1:]):
+                rid = rid[:-2]
+        qname = rid.split(b" ")[0].split(b"\t")[0]
         return dict(qname=qname, flags=flags, rname=rname, pos=pos,
                     mapq=mapq, cigar=cigar, rnext=rnext, pnext=pnext,
                     tlen=tlen, seq=seq, qual=qual,

@@ -96,6 +96,20 @@ def test_paired_interleaved_matching(tmp_path):
         {(b"AAAA", b"GGGG"), (b"CCCC", b"TTTT")}
 
 
+def test_paired_interleaved_orphan_dropped(tmp_path, capfd):
+    # a read whose mate never appears is dropped with a warning, not an
+    # error (PairedReadMatcher.cpp:104-110 discards leftover unmatched reads)
+    sam = (b"r1\t0\tchr1\t1\t60\t4=\t*\t0\t0\tAAAA\tIIII\n"
+           b"orphan\t0\tchr1\t5\t60\t4=\t*\t0\t0\tCCCC\tIIII\n"
+           b"r1\t0\tchr1\t9\t60\t4=\t*\t0\t0\tGGGG\tIIII\n")
+    p = tmp_path / "orphan.sam"
+    p.write_bytes(sam)
+    pairs = list(open_paired_read_supplier(str(p)))
+    assert len(pairs) == 1
+    assert pairs[0][0].seq == b"AAAA" and pairs[0][1].seq == b"GGGG"
+    assert "discarding 1 unpaired" in capfd.readouterr().err
+
+
 def test_range_parse():
     assert Range.parse("14").values() == [14]
     assert Range.parse("10:2:14").values() == [10, 12, 14]
