@@ -156,13 +156,15 @@ class GenomeIndex:
             meta = json.load(f)
         mm = "r" if mmap else None
         load = lambda n: np.load(os.path.join(directory, n), mmap_mode=mm)
-        return cls(genome=Genome.load(directory, mmap=mmap),
-                   seed_len=int(meta["seed_len"]),
-                   ht_keys=load("ht_keys.npy"), ht_val1=load("ht_val1.npy"),
-                   ht_val2=load("ht_val2.npy"),
-                   shard_starts=load("shard_starts.npy"),
-                   overflow=load("overflow.npy"),
-                   shard_ovf_starts=load("shard_ovf_starts.npy"))
+        idx = cls(genome=Genome.load(directory, mmap=mmap),
+                  seed_len=int(meta["seed_len"]),
+                  ht_keys=load("ht_keys.npy"), ht_val1=load("ht_val1.npy"),
+                  ht_val2=load("ht_val2.npy"),
+                  shard_starts=load("shard_starts.npy"),
+                  overflow=load("overflow.npy"),
+                  shard_ovf_starts=load("shard_ovf_starts.npy"))
+        object.__setattr__(idx, "_dir", directory)
+        return idx
 
     def device_arrays(self) -> dict:
         """Arrays for the jitted lookup kernel, as plain numpy (uint32/int32).
@@ -181,6 +183,136 @@ class GenomeIndex:
             genome_codes=np.ascontiguousarray(self.genome.codes),
             genome_size=np.int64(self.genome_size),
         )
+
+
+# ----------------------------------------------------------------------
+# device lookup layout: (2,4)-bucketized cuckoo
+# ----------------------------------------------------------------------
+#
+# The on-disk/table format above keeps the reference's probe-chain layout
+# (needed for both-ways SNAP interop, snap_format.py).  The DEVICE lookup
+# does not have to probe, though: we own the layout, so at load time we
+# rehash every occupied entry into a two-level bucket table — each
+# (key, shard) lives in its h1-addressed 8-entry L1 bucket, or (for the
+# ~2% of entries whose L1 bucket overflows) its h2-addressed 8-entry L2
+# bucket, or a tiny fixed stash.  The batched lookup is a fixed TWO
+# 128-byte row gathers + a broadcast stash compare.  No while_loop, no
+# data-dependent probe chains — the TPU shape of SNAPHashTable::Lookup
+# (HashTable.h:74-105) with the probe chain compiled away.  The build is
+# deterministic and one-shot: two sort/rank passes, no iteration.
+# Bucket row layout: 32 u32 = [klo x8 | khi x8 | v1 x8 | v2 x8]; empty
+# entry khi = 0xFFFFFFFF (valid shards are < 4^9).
+
+CUCKOO_STASH = 128
+BUCKET_CAP = 8
+_CK_SALT1 = np.uint32(0x9E3779B1)
+_CK_SALT2 = np.uint32(0x85EBCA77)
+
+
+def _ck_h1(key, shard, nb):
+    return (murmur_finalize_u32(key ^ (shard * _CK_SALT1))) % np.uint32(nb)
+
+
+def _ck_h2(key, shard, nb):
+    return (murmur_finalize_u32((key + _CK_SALT2) ^ (shard * _CK_SALT2))) \
+        % np.uint32(nb)
+
+
+def _rank_in_bucket(b: np.ndarray):
+    """(order, rank) of each element within its bucket value group."""
+    order = np.argsort(b, kind="stable")
+    bs = b[order]
+    first = np.concatenate([[True], bs[1:] != bs[:-1]])
+    grp_start = np.maximum.accumulate(np.where(first, np.arange(bs.size), 0))
+    return order, bs, (np.arange(bs.size) - grp_start).astype(np.int64)
+
+
+def _fill_buckets(nb, bucket_of, rank, src_idx, keys, shards, v1, v2):
+    buckets = np.zeros((nb, 4 * BUCKET_CAP), np.uint32)
+    buckets[:, BUCKET_CAP:2 * BUCKET_CAP] = _EMPTY
+    buckets[bucket_of, rank] = keys[src_idx]
+    buckets[bucket_of, BUCKET_CAP + rank] = shards[src_idx]
+    buckets[bucket_of, 2 * BUCKET_CAP + rank] = v1[src_idx]
+    buckets[bucket_of, 3 * BUCKET_CAP + rank] = v2[src_idx]
+    return buckets
+
+
+def build_cuckoo_layout(ht_keys, ht_val1, ht_val2, shard_starts,
+                        verbose: bool = False) -> dict:
+    """Rehash the occupied slots of the probe-chain table into the
+    two-level bucket layout.  Deterministic: one rank pass per level.
+    """
+    occ = ht_val1 != _EMPTY
+    keys = ht_keys[occ].astype(np.uint32)
+    v1 = ht_val1[occ]
+    v2 = ht_val2[occ]
+    slot_idx = np.nonzero(occ)[0]
+    shards = (np.searchsorted(shard_starts, slot_idx, side="right") - 1
+              ).astype(np.uint32)
+    del slot_idx
+    n = keys.shape[0]
+
+    # L1: h1-addressed, load 0.8 of the 8-entry buckets (the modulo on
+    # device is by a trace-time constant, so XLA strength-reduces it)
+    nb1 = max(16, int(np.ceil(n / (BUCKET_CAP * 0.8))))
+    h1 = _ck_h1(keys, shards, nb1)
+    order, bs, rank = _rank_in_bucket(h1)
+    fits = rank < BUCKET_CAP
+    buckets1 = _fill_buckets(nb1, bs[fits], rank[fits], order[fits],
+                             keys, shards, v1, v2)
+    spill = order[~fits]
+
+    # L2: h2-addressed buckets for the spillers, sized so its own spill
+    # fits the stash (grown geometrically in the rare case it does not)
+    nb2 = max(16, (spill.size // (2 * BUCKET_CAP)) + 1)
+    while True:
+        h2 = _ck_h2(keys[spill], shards[spill], nb2)
+        order2, bs2, rank2 = _rank_in_bucket(h2)
+        fits2 = rank2 < BUCKET_CAP
+        if (~fits2).sum() <= CUCKOO_STASH:
+            break
+        nb2 = int(nb2 * 1.6) + 1
+    buckets2 = _fill_buckets(nb2, bs2[fits2], rank2[fits2],
+                             spill[order2[fits2]], keys, shards, v1, v2)
+    rest = spill[order2[~fits2]]
+
+    stash = np.zeros((CUCKOO_STASH, 4), np.uint32)
+    stash[:, 1] = _EMPTY
+    stash[:rest.size, 0] = keys[rest]
+    stash[:rest.size, 1] = shards[rest]
+    stash[:rest.size, 2] = v1[rest]
+    stash[:rest.size, 3] = v2[rest]
+    if verbose:
+        print(f"bucket layout: {n} entries, L1 {nb1} buckets "
+              f"(load {n / (BUCKET_CAP * nb1):.2f}), L2 {nb2} buckets "
+              f"({spill.size} spill), stash {rest.size}")
+    return dict(ck_buckets=buckets1, ck_buckets2=buckets2, ck_stash=stash)
+
+
+def cuckoo_layout_for(index: "GenomeIndex", verbose: bool = False) -> dict:
+    """Build the device bucket layout, memoized on the index object and —
+    when the index came from / lives in a directory — cached on disk
+    beside it (the layout is a pure function of the table contents)."""
+    cached = getattr(index, "_cuckoo_layout", None)
+    if cached is not None:
+        return cached
+    d = getattr(index, "_dir", None)
+    path = os.path.join(d, "bucket_layout.npz") if d else None
+    if path and os.path.exists(path):
+        z = np.load(path)
+        cached = dict(ck_buckets=z["ck_buckets"],
+                      ck_buckets2=z["ck_buckets2"], ck_stash=z["ck_stash"])
+    else:
+        cached = build_cuckoo_layout(index.ht_keys, index.ht_val1,
+                                     index.ht_val2, index.shard_starts,
+                                     verbose=verbose)
+        if path:
+            try:
+                np.savez(path, **cached)
+            except OSError:
+                pass    # read-only index dir: memoize in memory only
+    object.__setattr__(index, "_cuckoo_layout", cached)
+    return cached
 
 
 # ----------------------------------------------------------------------

@@ -109,17 +109,26 @@ def _segment_ids(boundary: jnp.ndarray) -> jnp.ndarray:
 
 def seed_phase(reads, schedule, seed_len, ht_entries,
                shard_start, shard_size, overflow, genome_size,
-               sched_static=None):
+               sched_static=None, cuckoo=None):
     """Pack + look up every scheduled seed.  Local to an index shard: seeds
     whose table lives elsewhere simply come back not-found (size 0).
 
     sched_static: the schedule as a static tuple (positions are a per-read-
-    length constant), letting pack_seeds use static slices."""
+    length constant), letting pack_seeds use static slices.
+
+    cuckoo: optional dict(ck_buckets, ck_stash) — the loop-free lookup
+    layout (index/hash_index.py build_cuckoo_layout); when present, the
+    probe-chain table is bypassed entirely."""
     packed = lk.pack_seeds(
         reads, sched_static if sched_static is not None else schedule,
         seed_len)
-    found, fwd_val, rc_val = lk.lookup_seeds(
-        packed, ht_entries, shard_start, shard_size)
+    if cuckoo is not None:
+        found, fwd_val, rc_val = lk.lookup_seeds_cuckoo(
+            packed, cuckoo["ck_buckets"], cuckoo["ck_buckets2"],
+            cuckoo["ck_stash"])
+    else:
+        found, fwd_val, rc_val = lk.lookup_seeds(
+            packed, ht_entries, shard_start, shard_size)
     cnt_f, base_f = lk.expand_counts(fwd_val, overflow, genome_size)
     cnt_r, base_r = lk.expand_counts(rc_val, overflow, genome_size)
     return dict(
@@ -206,25 +215,31 @@ def expand_phase(seeds, budget, schedule, overflow, cfg, seed_len, read_len,
     lp_at = jnp.take_along_axis(budget["lp_pre"].reshape(B, S * 2), group, axis=1)
 
     read_id = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, CPR))
-    flat = lambda x: x.reshape(B * CPR)
-    return dict(read=flat(read_id), dir=flat(dir_idx),
-                loc=flat(jnp.where(cand_live, cand_loc, BIG)),
-                order=flat(order), offset=flat(offset),
-                round=flat(s_idx), lp=flat(lp_at),
-                live=flat(cand_live), truncated=n_truncated)
+    return dict(read=read_id, dir=dir_idx,
+                loc=jnp.where(cand_live, cand_loc, BIG),
+                order=order, offset=offset,
+                round=s_idx, lp=lp_at,
+                live=cand_live, truncated=n_truncated)
 
 
 def aggregate_phase(c):
     """Sort candidates by (read, dir, loc) and reduce into unique candidates
     + element stats (weight, creation bound, last order; element = 48-wide
-    bucket, BaseAligner.h:196-226)."""
-    C = c["read"].shape[0]
-    # pack (read, dir) into one key: one fewer stable bitonic pass
-    rd = c["read"] * 2 + c["dir"]
-    perm = jnp.lexsort((c["order"], c["loc"], rd))
-    r_, d_, l_ = c["read"][perm], c["dir"][perm], c["loc"][perm]
-    o_, off_, lp_ = c["order"][perm], c["offset"][perm], c["lp"][perm]
-    rd_, live_ = c["round"][perm], c["live"][perm]
+    bucket, BaseAligner.h:196-226).
+
+    The candidate arrays arrive as (rows, width) with one READ per row
+    (expand_phase's natural shape), so the sort is a cheap ROWWISE 2-key
+    (dir, loc) lax.sort instead of a global 3-key lexsort — same grouping,
+    ~W log^2 W vs C log^2 C comparator stages.  All downstream segment
+    reductions are order-invariant within a (read, dir, loc) group, so the
+    within-group order key the global sort had is unnecessary."""
+    ops = (c["dir"], c["loc"], c["read"], c["order"], c["offset"], c["lp"],
+           c["round"], c["live"].astype(jnp.int32))
+    d_, l_, r_, o_, off_, lp_, rd_, live_i = (
+        x.reshape(-1) for x in jax.lax.sort(ops, dimension=1, num_keys=2,
+                                            is_stable=False))
+    live_ = live_i.astype(bool)
+    C = r_.shape[0]
 
     elem_loc = l_ - l_ % MAX_MERGE_DIST
     diff_rd = (r_[1:] != r_[:-1]) | (d_[1:] != d_[:-1])
@@ -616,14 +631,14 @@ def _multi_hits(u_read, loc_adj, u_dir, score, u_order, in_play, B, C,
 def _align_batch(reads, quals,
                  ht_entries, shard_start, shard_size,
                  overflow, genome_p4, piece_starts,
-                 schedule, wraps,
+                 schedule, wraps, cuckoo=None,
                  *, cfg: SingleAlignerConfig, seed_len: int, read_len: int,
                  genome_size: int, sched_static: tuple = None):
     B = reads.shape[0]
     S = schedule.shape[0]
     seeds = seed_phase(reads, schedule, seed_len, ht_entries,
                        shard_start, shard_size, overflow, genome_size,
-                       sched_static)
+                       sched_static, cuckoo)
     counts_global = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
     budget = budget_phase(seeds["valid"], counts_global, wraps, cfg)
     cands = expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
@@ -659,8 +674,22 @@ class SingleAligner:
             cfg = SingleAlignerConfig(**{**cfg.__dict__, **overrides})
         self.cfg = cfg
         arrs = index.device_arrays()
+        import os
+        use_cuckoo = os.environ.get("SNAP_TPU_LOOKUP", "cuckoo") == "cuckoo"
+        skip = {"genome_size", "genome_codes"}
+        if use_cuckoo:
+            # the cuckoo layout replaces the probe-chain table on device:
+            # don't ship ht_entries to HBM at all
+            skip = skip | {"ht_entries"}
         self._dev = {k: jnp.asarray(v) for k, v in arrs.items()
-                     if k not in ("genome_size", "genome_codes")}
+                     if k not in skip}
+        if use_cuckoo:
+            from ..index.hash_index import cuckoo_layout_for
+            self._cuckoo = {k: jnp.asarray(v)
+                            for k, v in cuckoo_layout_for(index).items()}
+            self._dev["ht_entries"] = jnp.zeros((1, 3), jnp.uint32)
+        else:
+            self._cuckoo = None
         self._dev["genome_p4"] = jnp.asarray(
             pack_genome_4bit(arrs["genome_codes"]))
         self._dev["piece_starts"] = jnp.asarray(
@@ -683,6 +712,7 @@ class SingleAligner:
             self._dev["overflow"], self._dev["genome_p4"],
             self._dev["piece_starts"],
             jnp.asarray(positions), jnp.asarray(wraps),
+            self._cuckoo,
             cfg=self.cfg.resolve_for_read_len(L),
             seed_len=self.index.seed_len, read_len=L,
             genome_size=self.genome_size,

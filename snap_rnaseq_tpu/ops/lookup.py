@@ -241,6 +241,67 @@ def lookup_seeds(packed: dict, ht_entries,
     return found, fwd_val, rc_val
 
 
+_CK_SALT1 = jnp.uint32(0x9E3779B1)
+_CK_SALT2 = jnp.uint32(0x85EBCA77)
+
+
+def _canonicalize(packed: dict):
+    """Canonical (key, shard) per seed + the fwd/rc value-swap predicates
+    (the isBiggerThanItsReverseComplement dance, GenomeIndex.cpp:984-1010)."""
+    lo_f, hi_f = packed["lo_f"], packed["hi_f"]
+    lo_r, hi_r = packed["lo_r"], packed["hi_r"]
+    fwd_smaller = (hi_f < hi_r) | ((hi_f == hi_r) & (lo_f <= lo_r))
+    key = jnp.where(fwd_smaller, lo_f, lo_r)
+    shard = jnp.where(fwd_smaller, hi_f, hi_r)
+    palindrome = (hi_f == hi_r) & (lo_f == lo_r)
+    return key, shard, fwd_smaller, palindrome
+
+
+def lookup_seeds_cuckoo(packed: dict, ck_buckets, ck_buckets2, ck_stash):
+    """Loop-free lookup against the two-level bucket layout
+    (index/hash_index.py build_cuckoo_layout): exactly two 32-word row
+    gathers per seed + a broadcast compare against the fixed stash.
+    Returns the same (found, fwd_val, rc_val) contract as lookup_seeds —
+    identical values, since the bucket table holds exactly the occupied
+    entries of the probe-chain table.
+    """
+    key, shard, fwd_smaller, palindrome = _canonicalize(packed)
+    valid = packed["valid"]
+    CAP = ck_buckets.shape[1] // 4
+
+    h1 = murmur32(key ^ (shard * _CK_SALT1)) % jnp.uint32(ck_buckets.shape[0])
+    h2 = murmur32((key + _CK_SALT2) ^ (shard * _CK_SALT2)) \
+        % jnp.uint32(ck_buckets2.shape[0])
+
+    found = jnp.zeros(key.shape, bool)
+    v1 = jnp.zeros(key.shape, jnp.uint32)
+    v2 = jnp.zeros(key.shape, jnp.uint32)
+    for tbl, h in ((ck_buckets, h1), (ck_buckets2, h2)):
+        rows = tbl[h.astype(jnp.int32)]                 # (B, S, 4*CAP)
+        for j in range(CAP):
+            m = (rows[..., j] == key) & (rows[..., CAP + j] == shard)
+            found = found | m
+            v1 = jnp.where(m, rows[..., 2 * CAP + j], v1)
+            v2 = jnp.where(m, rows[..., 3 * CAP + j], v2)
+    # stash: at most CUCKOO_STASH entries, broadcast compare
+    st_m = (key[..., None] == ck_stash[None, None, :, 0]) & \
+           (shard[..., None] == ck_stash[None, None, :, 1])
+    any_st = st_m.any(axis=-1)
+    found = found | any_st
+    v1 = jnp.where(any_st,
+                   jnp.max(jnp.where(st_m, ck_stash[None, None, :, 2], 0),
+                           axis=-1), v1)
+    v2 = jnp.where(any_st,
+                   jnp.max(jnp.where(st_m, ck_stash[None, None, :, 3], 0),
+                           axis=-1), v2)
+
+    found = found & valid
+    fwd_val = jnp.where(found, jnp.where(fwd_smaller, v1, v2), _UNUSED)
+    rc_val = jnp.where(found, jnp.where(fwd_smaller, v2, v1), _UNUSED)
+    rc_val = jnp.where(palindrome, fwd_val, rc_val)
+    return found, fwd_val, rc_val
+
+
 def expand_counts(val: jnp.ndarray, overflow: jnp.ndarray, genome_size) -> tuple:
     """Decode an entry half into (count, list_base).
 

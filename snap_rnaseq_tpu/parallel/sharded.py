@@ -176,8 +176,10 @@ def _end_pipeline(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
                             read_len, cfg.cand_per_read)
     gathered = {}
     for k in ("read", "dir", "loc", "order", "offset", "round", "lp", "live"):
-        g = jax.lax.all_gather(cands[k], "index")
-        gathered[k] = g.reshape(-1)
+        g = jax.lax.all_gather(cands[k], "index")     # (n_idx, B, CPR)
+        # one row per READ (all shards' candidates side by side) — the
+        # shape aggregate_phase's rowwise sort groups on
+        gathered[k] = jnp.swapaxes(g, 0, 1).reshape(B, -1)
     u = sg.aggregate_phase(gathered)
 
     C_total = u["read"].shape[0]
