@@ -134,8 +134,11 @@ def _append_perf(path, label, stats):
     if not path:
         return
     with open(path, "a") as f:
+        counters = " ".join(f"{k}={v}" for k, v in
+                            sorted(stats.engine_counters.items()))
         f.write(f"{label}\t{stats.total_reads}\t{stats.useful_reads}\t"
-                f"{stats.align_time:.3f}\t{stats.reads_per_second:.0f}\n")
+                f"{stats.align_time:.3f}\t{stats.reads_per_second:.0f}\t"
+                f"{counters}\n")
 
 
 def _sweep(a):

@@ -210,12 +210,16 @@ _CK_SALT2 = np.uint32(0x85EBCA77)
 
 
 def _ck_h1(key, shard, nb):
-    return (murmur_finalize_u32(key ^ (shard * _CK_SALT1))) % np.uint32(nb)
+    """Bucket of (key, shard) in an nb-bucket table: murmur + Lemire range
+    reduction ((h * nb) >> 32) — matches ops/lookup.py _range_reduce, which
+    avoids the TPU's slow u32 modulo."""
+    h = murmur_finalize_u32(key ^ (shard * _CK_SALT1))
+    return ((h.astype(np.uint64) * np.uint64(nb)) >> np.uint64(32)).astype(np.int64)
 
 
 def _ck_h2(key, shard, nb):
-    return (murmur_finalize_u32((key + _CK_SALT2) ^ (shard * _CK_SALT2))) \
-        % np.uint32(nb)
+    h = murmur_finalize_u32((key + _CK_SALT2) ^ (shard * _CK_SALT2))
+    return ((h.astype(np.uint64) * np.uint64(nb)) >> np.uint64(32)).astype(np.int64)
 
 
 def _rank_in_bucket(b: np.ndarray):
@@ -238,9 +242,16 @@ def _fill_buckets(nb, bucket_of, rank, src_idx, keys, shards, v1, v2):
 
 
 def build_cuckoo_layout(ht_keys, ht_val1, ht_val2, shard_starts,
-                        verbose: bool = False) -> dict:
+                        verbose: bool = False, shard_base: int = 0,
+                        nb1: int = None, nb2_min: int = None) -> dict:
     """Rehash the occupied slots of the probe-chain table into the
     two-level bucket layout.  Deterministic: one rank pass per level.
+
+    shard_base: global logical-shard id of shard_starts[0] — device slices
+    of a sharded index pass their range offset so the hash sees GLOBAL
+    shard ids (the lookup hashes (key, global shard)).
+    nb1 / nb2_min: optional size overrides so per-device slices of a
+    sharded index can be built to one common shape.
     """
     occ = ht_val1 != _EMPTY
     keys = ht_keys[occ].astype(np.uint32)
@@ -248,13 +259,14 @@ def build_cuckoo_layout(ht_keys, ht_val1, ht_val2, shard_starts,
     v2 = ht_val2[occ]
     slot_idx = np.nonzero(occ)[0]
     shards = (np.searchsorted(shard_starts, slot_idx, side="right") - 1
-              ).astype(np.uint32)
+              + shard_base).astype(np.uint32)
     del slot_idx
     n = keys.shape[0]
 
     # L1: h1-addressed, load 0.8 of the 8-entry buckets (the modulo on
     # device is by a trace-time constant, so XLA strength-reduces it)
-    nb1 = max(16, int(np.ceil(n / (BUCKET_CAP * 0.8))))
+    if nb1 is None:
+        nb1 = max(16, int(np.ceil(n / (BUCKET_CAP * 0.8))))
     h1 = _ck_h1(keys, shards, nb1)
     order, bs, rank = _rank_in_bucket(h1)
     fits = rank < BUCKET_CAP
@@ -264,7 +276,7 @@ def build_cuckoo_layout(ht_keys, ht_val1, ht_val2, shard_starts,
 
     # L2: h2-addressed buckets for the spillers, sized so its own spill
     # fits the stash (grown geometrically in the rare case it does not)
-    nb2 = max(16, (spill.size // (2 * BUCKET_CAP)) + 1)
+    nb2 = max(nb2_min or 16, 16, (spill.size // (2 * BUCKET_CAP)) + 1)
     while True:
         h2 = _ck_h2(keys[spill], shards[spill], nb2)
         order2, bs2, rank2 = _rank_in_bucket(h2)
@@ -297,7 +309,7 @@ def cuckoo_layout_for(index: "GenomeIndex", verbose: bool = False) -> dict:
     if cached is not None:
         return cached
     d = getattr(index, "_dir", None)
-    path = os.path.join(d, "bucket_layout.npz") if d else None
+    path = os.path.join(d, "bucket_layout_v2.npz") if d else None
     if path and os.path.exists(path):
         z = np.load(path)
         cached = dict(ck_buckets=z["ck_buckets"],

@@ -164,7 +164,7 @@ def pair_phase(d0, d1, cfg: PairedAlignerConfig, popular0, popular1):
 def _paired_align_batch(reads0, quals0, reads1, quals1,
                         ht_entries, shard_start, shard_size,
                         overflow, genome_p4, piece_starts,
-                        schedule, wraps,
+                        schedule, wraps, cuckoo=None,
                         *, cfg: PairedAlignerConfig, seed_len: int,
                         read_len: int, genome_size: int,
                         sched_static: tuple = None):
@@ -175,28 +175,57 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
     for reads, quals in ((reads0, quals0), (reads1, quals1)):
         seeds = sg.seed_phase(reads, schedule, seed_len, ht_entries,
                               shard_start, shard_size, overflow,
-                              genome_size, sched_static)
+                              genome_size, sched_static, cuckoo)
         cg = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
         budget = sg.budget_phase(seeds["valid"], cg, wraps, ecfg)
         cands = sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
                                 seed_len, read_len, ecfg.cand_per_read)
-        u = sg.aggregate_phase(cands)
+        u_full = sg.aggregate_phase(cands)
+
+        def back_half(u_full, compact_per_read):
+            """Same tier-ladder as the single engine's _align_batch: all
+            post-aggregation phases scale with the compact width, results
+            are bit-identical whenever the live candidates fit the tier."""
+            tcfg = ecfg if compact_per_read == ecfg.compact_per_read else \
+                sg.SingleAlignerConfig(**{**ecfg.__dict__,
+                                          "compact_per_read":
+                                          compact_per_read})
+            u, _ = sg.compact_phase(u_full, B, tcfg)
+            if ecfg.score_budget_per_read > 0:
+                sc = sg.filtered_score_phase(u, reads, quals, genome_p4,
+                                             piece_starts, ecfg, seed_len,
+                                             read_len, genome_size, B)
+            else:
+                sc = sg.score_phase(u, reads, quals, genome_p4, piece_starts,
+                                    ecfg, seed_len, read_len, genome_size)
+            single_out = sg.replay_phase(u, sc, budget, reads, B, S, ecfg)
+            # cluster-representative flags for the probability mass: reuse
+            # the replay's final-limit filter by recomputing in_prob cheaply
+            dense = _dense_per_read(u, sc, sc["scored_ok"], B,
+                                    ecfg.cand_per_read)
+            return dict(dense=dense, single=single_out)
+
         if ecfg.compact_per_read > 0:
-            u, _ = sg.compact_phase(u, B, ecfg)
-        if ecfg.score_budget_per_read > 0:
-            sc = sg.filtered_score_phase(u, reads, quals, genome_p4,
-                                         piece_starts, ecfg, seed_len,
-                                         read_len, genome_size, B)
+            small = max(4, ecfg.compact_per_read // 4)
+            if small < ecfg.compact_per_read:
+                eo = jax.lax.cond(
+                    u_full["live"].sum() <= B * small,
+                    lambda uu: back_half(uu, small),
+                    lambda uu: back_half(uu, ecfg.compact_per_read),
+                    u_full)
+            else:
+                eo = back_half(u_full, ecfg.compact_per_read)
         else:
-            sc = sg.score_phase(u, reads, quals, genome_p4, piece_starts,
-                                ecfg, seed_len, read_len, genome_size)
-        single_out = sg.replay_phase(u, sc, budget, reads, B, S, ecfg)
-        # cluster-representative flags for the probability mass: reuse the
-        # replay's final-limit filter by recomputing in_prob cheaply
-        in_prob = sc["scored_ok"]
-        dense = _dense_per_read(u, sc, in_prob, B, ecfg.cand_per_read)
-        ends.append(dict(dense=dense, single=single_out,
-                         popular=single_out["popular"],
+            sc = sg.score_phase(u_full, reads, quals, genome_p4,
+                                piece_starts, ecfg, seed_len, read_len,
+                                genome_size)
+            single_out = sg.replay_phase(u_full, sc, budget, reads, B, S,
+                                         ecfg)
+            eo = dict(dense=_dense_per_read(u_full, sc, sc["scored_ok"], B,
+                                            ecfg.cand_per_read),
+                      single=single_out)
+        ends.append(dict(dense=eo["dense"], single=eo["single"],
+                         popular=eo["single"]["popular"],
                          truncated=cands["truncated"]))
 
     pr = pair_phase(ends[0]["dense"], ends[1]["dense"], cfg,
@@ -241,8 +270,20 @@ class PairedAligner:
             cfg = PairedAlignerConfig(**{**cfg.__dict__, **overrides})
         self.cfg = cfg
         arrs = index.device_arrays()
+        import os
+        use_cuckoo = os.environ.get("SNAP_TPU_LOOKUP", "cuckoo") == "cuckoo"
+        skip = {"genome_size", "genome_codes"}
+        if use_cuckoo:
+            skip = skip | {"ht_entries"}
         self._dev = {k: jnp.asarray(v) for k, v in arrs.items()
-                     if k not in ("genome_size", "genome_codes")}
+                     if k not in skip}
+        if use_cuckoo:
+            from ..index.hash_index import cuckoo_layout_for
+            self._cuckoo = {k: jnp.asarray(v)
+                            for k, v in cuckoo_layout_for(index).items()}
+            self._dev["ht_entries"] = jnp.zeros((1, 3), jnp.uint32)
+        else:
+            self._cuckoo = None
         from ..ops.genome_gather import pack_genome_4bit
         self._dev["genome_p4"] = jnp.asarray(
             pack_genome_4bit(arrs["genome_codes"]))
@@ -261,6 +302,7 @@ class PairedAligner:
             self._dev["overflow"], self._dev["genome_p4"],
             self._dev["piece_starts"],
             jnp.asarray(positions[:S]), jnp.asarray(wraps[:S]),
+            self._cuckoo,
             cfg=self.cfg, seed_len=self.index.seed_len, read_len=L,
             genome_size=self.genome_size,
             sched_static=tuple(int(x) for x in positions[:S]))

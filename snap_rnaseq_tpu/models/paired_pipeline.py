@@ -125,6 +125,11 @@ class PairedEndPipeline:
                 self.wait.device_s += time.time() - td
                 stats.truncated_candidates += int(
                     (res["truncated0"] > 0).sum() + (res["truncated1"] > 0).sum())
+                for c in ("n_lookups", "n_candidates", "n_scored",
+                          "score_overflow"):
+                    for e in ("0", "1", ""):
+                        if c + e in res:
+                            stats.count(c, res[c + e])
                 for i, (r0, r1) in enumerate(pairs):
                     emit_pair(r0, r1,
                               int(res["result0"][i]), int(res["loc0"][i]),

@@ -99,6 +99,10 @@ class SingleEndPipeline:
                 stats.lv_calls += int(res["n_lookups"])
                 stats.popular_skipped += int(res["popular"].sum())
                 stats.truncated_candidates += int((res["truncated"] > 0).sum())
+                for c in ("n_lookups", "n_candidates", "n_unique_candidates",
+                          "n_scored", "n_bucket2", "score_overflow"):
+                    if c in res:
+                        stats.count(c, res[c])
                 for i, r in enumerate(reads):
                     result = int(res["result"][i])
                     loc = int(res["loc"][i])

@@ -422,9 +422,12 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     # bounded by its whole-read distance (restricting the whole alignment to
     # either side never costs more), so survivors with a small whole-read
     # distance can run in a much narrower DP band — identical results,
-    # ~ (D_small/D_full)^2 of the work.
+    # ~ (D_small/D_full) of the work.  E0 catches the bulk (reads with <=3
+    # errors) in a D=7 kernel; E1 the mid tail; bucket 2 the deep tail.
+    E0 = min(3, e_max)
     E1 = min(7, e_max)
-    keep1 = live & (wdist <= E1)
+    keep0 = live & (wdist <= E0)
+    keep1 = live & (wdist > E0) & (wdist <= E1)
     keep2 = live & (wdist > E1) & (wdist <= e_max)
 
     score = jnp.full((C,), BIG, jnp.int32)
@@ -434,12 +437,8 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     overflow = jnp.int32(0)
 
     per_read = max(cfg.score_budget_per_read, cfg.max_hits_to_get)
-    # bucket 2 (whole-read distance in (E1, e_max]) is rare in practice —
-    # a small pooled budget suffices; overflow is counted
-    for keep, SB, band in ((keep1, min(B * per_read, C), E1),
-                           (keep2, min(max(B // 2, 256), C), e_max)):
-        if band == e_max and e_max <= E1:
-            continue    # bucket 2 empty when the full band is already small
+
+    def run_bucket(keep, SB, band, score, logp, loc_adj, scored_ok):
         chosen = stable_partition_indices(keep, SB)
         u_sub = {k: u[k][chosen] for k in ("read", "dir", "loc", "off", "live")}
         u_sub["live"] = u_sub["live"] & keep[chosen]
@@ -454,10 +453,42 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
             jnp.where(u_sub["live"], sc_sub["loc_adj"], loc_adj[chosen]))
         scored_ok = scored_ok.at[chosen].set(
             jnp.where(u_sub["live"], sc_sub["scored_ok"], scored_ok[chosen]))
-        overflow = overflow + jnp.maximum(keep.sum() - SB, 0)
+        return score, logp, loc_adj, scored_ok
+
+    # Bucket 0 is TWO-TIER: the LV kernel cost is proportional to its
+    # static row count, but the live survivor count varies wildly with
+    # repeat content.  When the survivors fit in the small tier, running it
+    # is bit-identical to running the big tier (the extra big-tier rows are
+    # dead: k=0, live=False) — a lax.cond picks the cheap path at runtime
+    # with zero accuracy cost; the big tier remains the exact fallback.
+    SB_big = min(B * per_read, C)
+    SB_small = min(B * max(2, per_read // 4), SB_big)
+    n0 = keep0.sum()
+    st = (score, logp, loc_adj, scored_ok)
+    if SB_small < SB_big:
+        st = jax.lax.cond(
+            n0 <= SB_small,
+            lambda s: run_bucket(keep0, SB_small, E0, *s),
+            lambda s: run_bucket(keep0, SB_big, E0, *s),
+            st)
+    else:
+        st = run_bucket(keep0, SB_big, E0, *st)
+    score, logp, loc_adj, scored_ok = st
+    overflow = overflow + jnp.maximum(n0 - SB_big, 0)
+
+    # buckets 1 and 2 (whole-read distance in (E0,E1] / (E1,e_max]) hold
+    # only error-dense reads — small pooled budgets suffice; overflow is
+    # counted
+    for keep, hi in ((keep1, E1), (keep2, e_max)):
+        if hi <= E0 or (hi == e_max and e_max <= E1):
+            continue
+        SBt = min(max(B // 2, 256), C)
+        score, logp, loc_adj, scored_ok = run_bucket(
+            keep, SBt, hi, score, logp, loc_adj, scored_ok)
+        overflow = overflow + jnp.maximum(keep.sum() - SBt, 0)
 
     return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok,
-                score_overflow=overflow)
+                score_overflow=overflow, n_bucket2=keep2.sum())
 
 
 def replay_phase(u, sc, budget, reads, B, S, cfg: SingleAlignerConfig):
@@ -644,21 +675,55 @@ def _align_batch(reads, quals,
     cands = expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
                          read_len, cfg.cand_per_read)
     u = aggregate_phase(cands)
-    compact_overflow = jnp.int32(0)
+
+    def back_half(u_full, compact_per_read):
+        """compact -> score -> replay at a given compact width.  A tier
+        ladder below cond-selects the narrowest width the live candidates
+        fit in: every phase after compaction scales with the width, and the
+        result is bit-identical across tiers whenever the live count fits
+        (the extra rows of a wider tier are dead)."""
+        tier_cfg = cfg if compact_per_read == cfg.compact_per_read else \
+            SingleAlignerConfig(**{**cfg.__dict__,
+                                   "compact_per_read": compact_per_read})
+        uu, compact_overflow = compact_phase(u_full, B, tier_cfg)
+        if cfg.score_budget_per_read > 0:
+            sc = filtered_score_phase(uu, reads, quals, genome_p4,
+                                      piece_starts, cfg, seed_len, read_len,
+                                      genome_size, B)
+        else:
+            sc = score_phase(uu, reads, quals, genome_p4, piece_starts, cfg,
+                             seed_len, read_len, genome_size)
+        out = replay_phase(uu, sc, budget, reads, B, S, cfg)
+        out["score_overflow"] = sc.get("score_overflow", jnp.int32(0)) + \
+            compact_overflow
+        out["n_unique_candidates"] = uu["live"].sum()
+        out["n_scored"] = sc["scored_ok"].sum()
+        out["n_bucket2"] = sc.get("n_bucket2", jnp.int32(0))
+        return out
+
     if cfg.compact_per_read > 0:
-        u, compact_overflow = compact_phase(u, B, cfg)
-    if cfg.score_budget_per_read > 0:
-        sc = filtered_score_phase(u, reads, quals, genome_p4,
-                                  piece_starts, cfg, seed_len, read_len,
-                                  genome_size, B)
+        n_live = u["live"].sum()
+        small = max(4, cfg.compact_per_read // 4)
+        if small < cfg.compact_per_read:
+            out = jax.lax.cond(
+                n_live <= B * small,
+                lambda uu: back_half(uu, small),
+                lambda uu: back_half(uu, cfg.compact_per_read),
+                u)
+        else:
+            out = back_half(u, cfg.compact_per_read)
     else:
         sc = score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
                          seed_len, read_len, genome_size)
-    out = replay_phase(u, sc, budget, reads, B, S, cfg)
+        out = replay_phase(u, sc, budget, reads, B, S, cfg)
+        out["score_overflow"] = jnp.int32(0)
+        out["n_unique_candidates"] = u["live"].sum()
+        out["n_scored"] = sc["scored_ok"].sum()
+        out["n_bucket2"] = jnp.int32(0)
     out["truncated"] = cands["truncated"]
-    out["score_overflow"] = sc.get("score_overflow", jnp.int32(0)) + \
-        compact_overflow
+    # per-phase device counters (BaseAligner.h:113-118 analog)
     out["n_lookups"] = seeds["found"].sum()
+    out["n_candidates"] = cands["live"].sum()
     return out
 
 

@@ -245,6 +245,26 @@ _CK_SALT1 = jnp.uint32(0x9E3779B1)
 _CK_SALT2 = jnp.uint32(0x85EBCA77)
 
 
+def _range_reduce(h: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Map uniform u32 h -> [0, n) as (h * n) >> 32 (Lemire's fast range
+    reduction) — u32 modulo lowers to a catastrophically slow division
+    sequence on TPU, while this is a handful of 16-bit-limb multiplies.
+    The host-side build (index/hash_index.py _ck_h1/_ck_h2) uses the same
+    mapping, so bucket assignments agree bit-for-bit."""
+    n = int(n)
+    a0 = h & jnp.uint32(0xFFFF)
+    a1 = h >> 16
+    b0 = jnp.uint32(n & 0xFFFF)
+    b1 = jnp.uint32(n >> 16)
+    p00 = a0 * b0
+    p10 = a1 * b0
+    p01 = a0 * b1
+    p11 = a1 * b1
+    carry = ((p00 >> 16) + (p10 & jnp.uint32(0xFFFF))
+             + (p01 & jnp.uint32(0xFFFF))) >> 16
+    return p11 + (p10 >> 16) + (p01 >> 16) + carry
+
+
 def _canonicalize(packed: dict):
     """Canonical (key, shard) per seed + the fwd/rc value-swap predicates
     (the isBiggerThanItsReverseComplement dance, GenomeIndex.cpp:984-1010)."""
@@ -269,9 +289,10 @@ def lookup_seeds_cuckoo(packed: dict, ck_buckets, ck_buckets2, ck_stash):
     valid = packed["valid"]
     CAP = ck_buckets.shape[1] // 4
 
-    h1 = murmur32(key ^ (shard * _CK_SALT1)) % jnp.uint32(ck_buckets.shape[0])
-    h2 = murmur32((key + _CK_SALT2) ^ (shard * _CK_SALT2)) \
-        % jnp.uint32(ck_buckets2.shape[0])
+    h1 = _range_reduce(murmur32(key ^ (shard * _CK_SALT1)),
+                       ck_buckets.shape[0])
+    h2 = _range_reduce(murmur32((key + _CK_SALT2) ^ (shard * _CK_SALT2)),
+                       ck_buckets2.shape[0])
 
     found = jnp.zeros(key.shape, bool)
     v1 = jnp.zeros(key.shape, jnp.uint32)

@@ -90,8 +90,37 @@ def partition_index(index: GenomeIndex, n_idx: int) -> dict:
         sh_start[d, lo:hi] = (starts[lo:hi] - s0).astype(np.int32)
         sh_size[d, lo:hi] = np.diff(starts[lo:hi + 1]).astype(np.int32)
 
+    # per-device bucket (cuckoo) layouts at ONE common shape, so the
+    # loop-free lookup runs inside shard_map (hashing uses GLOBAL shard
+    # ids via shard_base; see index/hash_index.py build_cuckoo_layout)
+    from ..index.hash_index import build_cuckoo_layout
+    max_n = 0
+    for d in range(n_idx):
+        lo, hi = int(cuts[d]), int(cuts[d + 1])
+        s0, s1 = int(starts[lo]), int(starts[hi])
+        max_n = max(max_n, int((index.ht_val1[s0:s1] !=
+                                np.uint32(INVALID_GENOME_LOCATION)).sum()))
+    nb1 = max(16, int(np.ceil(max_n / (8 * 0.8))))
+    nb2_min = 16
+    while True:
+        layouts = []
+        for d in range(n_idx):
+            lo, hi = int(cuts[d]), int(cuts[d + 1])
+            s0, s1 = int(starts[lo]), int(starts[hi])
+            layouts.append(build_cuckoo_layout(
+                index.ht_keys[s0:s1], entries[d, :s1 - s0, 1],
+                entries[d, :s1 - s0, 2], starts[lo:hi + 1] - s0,
+                shard_base=lo, nb1=nb1, nb2_min=nb2_min))
+        nb2_max = max(l["ck_buckets2"].shape[0] for l in layouts)
+        if all(l["ck_buckets2"].shape[0] == nb2_max for l in layouts):
+            break
+        nb2_min = nb2_max     # rare: rebuild so every device shares a shape
+    cuckoo = {k: np.stack([l[k] for l in layouts]) for k in
+              ("ck_buckets", "ck_buckets2", "ck_stash")}
+
     return dict(ht_entries=entries, overflow=ovf,
-                shard_start=sh_start, shard_size=sh_size, cuts=cuts)
+                shard_start=sh_start, shard_size=sh_size, cuts=cuts,
+                **cuckoo)
 
 
 class ShardedSingleAligner:
@@ -114,7 +143,8 @@ class ShardedSingleAligner:
 
         self._ht = {k: put(parts[k], P("index"))
                     for k in ("ht_entries", "overflow",
-                              "shard_start", "shard_size")}
+                              "shard_start", "shard_size",
+                              "ck_buckets", "ck_buckets2", "ck_stash")}
         from ..ops.genome_gather import pack_genome_4bit
         self._genome = put(pack_genome_4bit(
             np.ascontiguousarray(index.genome.codes)), P())
@@ -138,6 +168,8 @@ class ShardedSingleAligner:
             self._ht["shard_start"], self._ht["shard_size"],
             self._ht["overflow"], self._genome, self._pieces,
             jnp.asarray(positions), jnp.asarray(wraps),
+            self._ht["ck_buckets"], self._ht["ck_buckets2"],
+            self._ht["ck_stash"],
             mesh=self.mesh, cfg=self.cfg.resolve_for_read_len(L),
             seed_len=self.index.seed_len,
             read_len=L, genome_size=self.genome_size, n_idx=self.n_idx)
@@ -156,19 +188,22 @@ def seed_position_schedule_cached(read_len, seed_len, max_slots):
 
 def _end_pipeline(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
                   genome, pieces, schedule, wraps, cfg, seed_len, read_len,
-                  genome_size, n_idx):
+                  genome_size, n_idx, cuckoo_l=None):
     """One end's sharded candidate+score pipeline (inside shard_map).
 
     Returns (u, sc, single_out, budget, truncated) — the same intermediate
     contract the single-chip paired engine builds per end
-    (models/paired.py:_paired_align_batch), with the seed probe on the local
-    index slice, hit counts psum-ed, candidates all_gather-ed, and LV
-    scoring re-split over the 'index' axis.
+    (models/paired.py:_paired_align_batch), with the seed lookup on the
+    local index slice (loop-free bucket layout when cuckoo_l is present),
+    hit counts psum-ed, candidates all_gather-ed, and the single-chip fast
+    scoring path (compact tier ladder + bit-parallel prefilter + banded LV
+    buckets) re-split over the 'index' axis.
     """
     B = reads_l.shape[0]
     S = schedule.shape[0]
     seeds = sg.seed_phase(reads_l, schedule, seed_len, entries_l,
-                          sstart_l, ssize_l, ovf_l, genome_size)
+                          sstart_l, ssize_l, ovf_l, genome_size,
+                          None, cuckoo_l)
     counts_local = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
     counts_global = jax.lax.psum(counts_local, "index")
     budget = sg.budget_phase(seeds["valid"], counts_global, wraps, cfg)
@@ -180,20 +215,69 @@ def _end_pipeline(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
         # one row per READ (all shards' candidates side by side) — the
         # shape aggregate_phase's rowwise sort groups on
         gathered[k] = jnp.swapaxes(g, 0, 1).reshape(B, -1)
-    u = sg.aggregate_phase(gathered)
-
-    C_total = u["read"].shape[0]
-    C_slice = C_total // n_idx
+    u_full = sg.aggregate_phase(gathered)
     me = jax.lax.axis_index("index")
-    u_slice = {k: jax.lax.dynamic_slice_in_dim(v, me * C_slice, C_slice)
-               for k, v in u.items()}
-    sc_slice = sg.score_phase(u_slice, reads_l, quals_l, genome, pieces,
-                              cfg, seed_len, read_len, genome_size)
-    sc = {k: jax.lax.all_gather(v, "index").reshape(C_total, *v.shape[1:])
-          for k, v in sc_slice.items()}
-    single_out = sg.replay_phase(u, sc, budget, reads_l, B, S, cfg)
+
+    def back_half(u_full, compact_per_read):
+        if compact_per_read > 0:
+            tcfg = cfg if compact_per_read == cfg.compact_per_read else \
+                sg.SingleAlignerConfig(**{**cfg.__dict__,
+                                          "compact_per_read":
+                                          compact_per_read})
+            u, _ = sg.compact_phase(u_full, B, tcfg)
+        else:
+            u = u_full
+        C_total = u["read"].shape[0]
+        if C_total % n_idx:
+            # pad with dead rows so the 'index' re-split is exact
+            pad = n_idx - C_total % n_idx
+            u = {k: jnp.concatenate(
+                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
+                 for k, v in u.items()}
+            u["loc"] = u["loc"].at[-pad:].set(sg.BIG)
+            C_total += pad
+        C_slice = C_total // n_idx
+        u_slice = {k: jax.lax.dynamic_slice_in_dim(v, me * C_slice, C_slice)
+                   for k, v in u.items()}
+        if cfg.score_budget_per_read > 0:
+            sc_slice = sg.filtered_score_phase(
+                u_slice, reads_l, quals_l, genome, pieces, cfg, seed_len,
+                read_len, genome_size, B)
+            scalars = {k: sc_slice.pop(k)
+                       for k in ("score_overflow", "n_bucket2")}
+        else:
+            sc_slice = sg.score_phase(u_slice, reads_l, quals_l, genome,
+                                      pieces, cfg, seed_len, read_len,
+                                      genome_size)
+            scalars = {}
+        sc = {k: jax.lax.all_gather(v, "index").reshape(
+                  C_total, *v.shape[1:]) for k, v in sc_slice.items()}
+        for k, v in scalars.items():
+            sc[k] = jax.lax.psum(v, "index")
+        single_out = sg.replay_phase(u, sc, budget, reads_l, B, S, cfg)
+        # fixed-shape (B, K) dense view for the paired join — computed
+        # inside the tier so the cond branches agree on output types
+        from ..models.paired import _dense_per_read
+        dense = _dense_per_read(u, sc, sc["scored_ok"], B,
+                                cfg.cand_per_read)
+        return dense, single_out
+
+    if cfg.compact_per_read > 0:
+        small = max(4, cfg.compact_per_read // 4)
+        if small < cfg.compact_per_read:
+            # u_full is replicated over 'index' (it came from an
+            # all_gather), so every device picks the same tier
+            dense, single_out = jax.lax.cond(
+                u_full["live"].sum() <= B * small,
+                lambda uu: back_half(uu, small),
+                lambda uu: back_half(uu, cfg.compact_per_read),
+                u_full)
+        else:
+            dense, single_out = back_half(u_full, cfg.compact_per_read)
+    else:
+        dense, single_out = back_half(u_full, 0)
     single_out["n_found"] = jax.lax.psum(seeds["found"].sum(), "index")
-    return u, sc, single_out, budget, cands["truncated"]
+    return dense, single_out, budget, cands["truncated"]
 
 
 class ShardedPairedAligner:
@@ -223,7 +307,8 @@ class ShardedPairedAligner:
 
         self._ht = {k: put(parts[k], P("index"))
                     for k in ("ht_entries", "overflow",
-                              "shard_start", "shard_size")}
+                              "shard_start", "shard_size",
+                              "ck_buckets", "ck_buckets2", "ck_stash")}
         from ..ops.genome_gather import pack_genome_4bit
         self._genome = put(pack_genome_4bit(
             np.ascontiguousarray(index.genome.codes)), P())
@@ -246,6 +331,8 @@ class ShardedPairedAligner:
             self._ht["shard_start"], self._ht["shard_size"],
             self._ht["overflow"], self._genome, self._pieces,
             jnp.asarray(positions), jnp.asarray(wraps),
+            self._ht["ck_buckets"], self._ht["ck_buckets2"],
+            self._ht["ck_stash"],
             mesh=self.mesh, cfg=self.cfg, seed_len=self.index.seed_len,
             read_len=L, genome_size=self.genome_size, n_idx=self.n_idx)
 
@@ -260,7 +347,8 @@ class ShardedPairedAligner:
                      "n_idx"))
 def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
                           shard_start, shard_size, overflow, genome_codes,
-                          piece_starts, schedule, wraps, *, mesh, cfg,
+                          piece_starts, schedule, wraps, ck_b1, ck_b2, ck_st,
+                          *, mesh, cfg,
                           seed_len, read_len, genome_size, n_idx):
     from ..models.paired import (MAPQ_LIMIT_FOR_SINGLE_HIT, MULTIPLE_HITS,
                                  NOT_FOUND, SINGLE_HIT, _dense_per_read,
@@ -268,19 +356,19 @@ def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
     ecfg = cfg.end_config()
 
     def step(reads0_l, quals0_l, reads1_l, quals1_l, entries_l, sstart_l,
-             ssize_l, ovf_l, genome, pieces):
+             ssize_l, ovf_l, genome, pieces, ck_b1_l, ck_b2_l, ck_st_l):
         entries_l = entries_l[0]
         sstart_l, ssize_l, ovf_l = sstart_l[0], ssize_l[0], ovf_l[0]
+        cuckoo_l = dict(ck_buckets=ck_b1_l[0], ck_buckets2=ck_b2_l[0],
+                        ck_stash=ck_st_l[0])
         B = reads0_l.shape[0]
 
         ends = []
         for reads_l, quals_l in ((reads0_l, quals0_l), (reads1_l, quals1_l)):
-            u, sc, single_out, _budget, trunc = _end_pipeline(
+            dense, single_out, _budget, trunc = _end_pipeline(
                 reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
                 genome, pieces, schedule, wraps, ecfg, seed_len, read_len,
-                genome_size, n_idx)
-            dense = _dense_per_read(u, sc, sc["scored_ok"], B,
-                                    ecfg.cand_per_read)
+                genome_size, n_idx, cuckoo_l)
             ends.append(dict(dense=dense, single=single_out,
                              popular=single_out["popular"],
                              truncated=jax.lax.psum(trunc, "index")))
@@ -317,11 +405,12 @@ def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
         step, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"),
                   P("index"), P("index"), P("index"), P("index"),
-                  P(), P()),
+                  P(), P(), P("index"), P("index"), P("index")),
         out_specs=P("data"),
         check_rep=False)
     return fn(reads0, quals0, reads1, quals1, ht_entries, shard_start,
-              shard_size, overflow, genome_codes, piece_starts)
+              shard_size, overflow, genome_codes, piece_starts,
+              ck_b1, ck_b2, ck_st)
 
 
 @functools.partial(
@@ -330,20 +419,23 @@ def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
                      "n_idx"))
 def _sharded_align(reads, quals, ht_entries, shard_start,
                    shard_size, overflow, genome_codes, piece_starts,
-                   schedule, wraps, *, mesh, cfg, seed_len, read_len,
+                   schedule, wraps, ck_b1, ck_b2, ck_st,
+                   *, mesh, cfg, seed_len, read_len,
                    genome_size, n_idx):
 
     def step(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
-             genome, pieces):
+             genome, pieces, ck_b1_l, ck_b2_l, ck_st_l):
         # leading device axis of size 1 from shard_map: strip it
         entries_l = entries_l[0]
         sstart_l, ssize_l, ovf_l = sstart_l[0], ssize_l[0], ovf_l[0]
+        cuckoo_l = dict(ck_buckets=ck_b1_l[0], ck_buckets2=ck_b2_l[0],
+                        ck_stash=ck_st_l[0])
         B = reads_l.shape[0]
 
-        u, sc, out, _budget, trunc = _end_pipeline(
+        _dense, out, _budget, trunc = _end_pipeline(
             reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
             genome, pieces, schedule, wraps, cfg, seed_len, read_len,
-            genome_size, n_idx)
+            genome_size, n_idx, cuckoo_l)
         out["truncated"] = jax.lax.psum(trunc, "index")
         # scalar stats don't fit P('data') out_specs; fold into a per-read vec
         out["n_lookups"] = jnp.broadcast_to(
@@ -355,8 +447,9 @@ def _sharded_align(reads, quals, ht_entries, shard_start,
         step, mesh=mesh,
         in_specs=(P("data"), P("data"),
                   P("index"), P("index"), P("index"), P("index"),
-                  P(), P()),
+                  P(), P(), P("index"), P("index"), P("index")),
         out_specs=P("data"),
         check_rep=False)
     return fn(reads, quals, ht_entries, shard_start,
-              shard_size, overflow, genome_codes, piece_starts)
+              shard_size, overflow, genome_codes, piece_starts,
+              ck_b1, ck_b2, ck_st)

@@ -462,11 +462,17 @@ def _characterize_batch_jit():
         jax.jit,
         static_argnames=("positions", "seed_len", "genome_size", "max_hits",
                          "read_len", "cpr"))
-    def run(reads, ht_entries, shard_start, shard_size, overflow, *,
+    def run(reads, ht_entries, shard_start, shard_size, overflow,
+            cuckoo=None, *,
             positions, seed_len, genome_size, max_hits, read_len, cpr):
         packed = lk.pack_seeds(reads, positions, seed_len)
-        found, fv, rv = lk.lookup_seeds(packed, ht_entries, shard_start,
-                                        shard_size)
+        if cuckoo is not None:
+            found, fv, rv = lk.lookup_seeds_cuckoo(
+                packed, cuckoo["ck_buckets"], cuckoo["ck_buckets2"],
+                cuckoo["ck_stash"])
+        else:
+            found, fv, rv = lk.lookup_seeds(packed, ht_entries, shard_start,
+                                            shard_size)
         cf, bf = lk.expand_counts(fv, overflow, genome_size)
         cr, br = lk.expand_counts(rv, overflow, genome_size)
         okf = found & packed["valid"] & (cf > 0) & (cf <= max_hits)
@@ -512,9 +518,10 @@ class BatchCharacterizer:
 
     def __init__(self, index: GenomeIndex, dev_arrays: dict,
                  genome_size: int, max_seeds: int = 12,
-                 max_hits: int = 300, slots: int = 512):
+                 max_hits: int = 300, slots: int = 512, cuckoo: dict = None):
         self.index = index
         self._dev = dev_arrays
+        self._cuckoo = cuckoo
         self.genome_size = genome_size
         self.max_seeds = max_seeds
         self.max_hits = max_hits
@@ -531,7 +538,8 @@ class BatchCharacterizer:
         import jax.numpy as jnp
         out = self._run(jnp.asarray(codes), self._dev["ht_entries"],
                         self._dev["shard_start"], self._dev["shard_size"],
-                        self._dev["overflow"], positions=positions,
+                        self._dev["overflow"], self._cuckoo,
+                        positions=positions,
                         seed_len=self.index.seed_len,
                         genome_size=self.genome_size,
                         max_hits=self.max_hits, read_len=L, cpr=self.slots)

@@ -244,8 +244,9 @@ class RnaPairedEndPipeline(_RnaBase):
             bchar_dev = {k: _jnp.asarray(arrs[k]) for k in
                          ("ht_entries", "shard_start", "shard_size",
                           "overflow")}
-        self._bchar = BatchCharacterizer(self.genome_index, bchar_dev,
-                                         self.genome_index.genome_size)
+        self._bchar = BatchCharacterizer(
+            self.genome_index, bchar_dev, self.genome_index.genome_size,
+            cuckoo=getattr(self.g_aligner, "_cuckoo", None))
         self.stats = AlignerStats()
 
     def run(self, fq0: str, fq1: str, out_path: str,

@@ -15,6 +15,18 @@ def enable_compilation_cache(path: str | None = None) -> None:
     import jax
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                   "/tmp/snap_tpu_jax_cache")
+    # One cache dir PER BACKEND: entries written under the TPU plugin must
+    # not be loaded by plain-CPU processes (cpu_aot_loader machine-feature
+    # mismatch).  Caching aggressively ALSO matters for stability, not just
+    # speed: the XLA:CPU compiler on this host segfaults nondeterministically
+    # in processes that perform many hundreds of fresh compiles (observed in
+    # full-suite runs with the cache off; round 1 ran crash-free with it
+    # on), so cache hits keep the per-process compile count low.
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    path = os.path.join(path, backend)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

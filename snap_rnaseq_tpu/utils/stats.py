@@ -30,6 +30,10 @@ class AlignerStats:
     mapq_errors: np.ndarray = field(default_factory=lambda: np.zeros(71, np.int64))
     start_time: float = field(default_factory=time.time)
     align_time: float = 0.0
+    # per-phase device counters (the BaseAligner.h:113-118 analog:
+    # nHashTableLookups, nLocationsScored, ...): arbitrary named sums
+    # accumulated per batch by the pipelines
+    engine_counters: dict = field(default_factory=dict)
 
     def add(self, other: "AlignerStats"):
         for f in ("total_reads", "useful_reads", "single_hits", "multi_hits",
@@ -39,6 +43,18 @@ class AlignerStats:
         self.mapq_histogram += other.mapq_histogram
         self.mapq_errors += other.mapq_errors
         self.align_time += other.align_time
+        for k, v in other.engine_counters.items():
+            self.engine_counters[k] = self.engine_counters.get(k, 0) + v
+
+    def count(self, name: str, value) -> None:
+        self.engine_counters[name] = \
+            self.engine_counters.get(name, 0) + int(value)
+
+    def counters_line(self) -> str:
+        if not self.engine_counters:
+            return ""
+        return "engine counters: " + " ".join(
+            f"{k}={v}" for k, v in sorted(self.engine_counters.items()))
 
     def record_mapq(self, mapq: int, was_error: bool = False):
         m = max(0, min(70, int(mapq)))
@@ -66,6 +82,9 @@ class AlignerStats:
         ]
         if self.errors:
             lines.append(f"misaligned (wgsim oracle): {self.errors}")
+        cl = self.counters_line()
+        if cl:
+            lines.append(cl)
         return "\n".join(lines)
 
     def roc_table(self) -> str:

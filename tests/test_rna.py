@@ -253,7 +253,7 @@ def test_batch_characterizer_matches_host(tmp_path):
             r[:] = 4            # all-N: no valid seeds
         reads[i] = r
 
-    bc = BatchCharacterizer(idx, al._dev, al.genome_size)
+    bc = BatchCharacterizer(idx, al._dev, al.genome_size, cuckoo=al._cuckoo)
     rows = bc.characterize(reads)
     for i in range(B):
         fwd_d, rc_d = rows(i)
