@@ -2,16 +2,25 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline: 100 bp PAIRED-END reads against a 250 Mb genome with human-like
+Headline: 100 bp PAIRED-END reads against a 64 Mb genome with human-like
 repeat structure (snap_rnaseq_tpu/utils/synth_genome.py — SINE/LINE/
 satellite families at hg-like densities), default paired operating point
-(maxDist 15, 8 seeds, AlignerOptions.cpp:73-77).  This is the shape the
-reference was engineered for: popular seeds, overflow-table traffic and
-real candidate-set pressure, unlike a uniform-random genome where every
-20-mer is unique.  Reads/s counts READS (2 per pair), matching the
-reference's self-reported metric (AlignerContext.cpp:382-393).
+(maxDist 15, 8 seeds, AlignerOptions.cpp:73-77).  Reads/s counts READS
+(2 per pair), matching the reference's self-reported metric
+(AlignerContext.cpp:382-393).
 
-extra also carries a single-end number on the same genome.
+DRIVER-PROOFING (round 3): round 2's driver run produced rc=124 with only
+the axon-init warning printed — the TPU tunnel can hang indefinitely at
+backend init.  This bench therefore:
+  1. probes the TPU backend in a SUBPROCESS with a timeout and falls back
+     to JAX_PLATFORMS=cpu (honestly labelled) if the probe hangs/fails;
+  2. runs the whole measurement under a hard deadline (a daemon watchdog
+     prints a JSON line and exits the process if the deadline passes);
+  3. prints the headline line the moment the PE number exists; the
+     single-end extra is measured only if budget remains (stderr note
+     otherwise);
+  4. caches the bench index in a stable path and keeps the cold build
+     (64 Mb) small enough to fit the budget.
 
 vs_baseline compares against a measurement of the reference binary on the
 SAME genome and read shape on this host (BASELINE_MEASURED.json, produced
@@ -20,76 +29,198 @@ Manual's 20x-at-32-threads scaling).  Fallback: a documented constant.
 """
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 BATCH_PAIRS = 1024
 READ_LEN = 100
-GENOME_BASES = 250_000_000
-ROUNDS = 12
+GENOME_BASES = int(os.environ.get("SNAP_TPU_BENCH_BASES", 64_000_000))
+ROUNDS = int(os.environ.get("SNAP_TPU_BENCH_ROUNDS", 10))
+# print the JSON line by this wall-clock age no matter what
+DEADLINE_S = float(os.environ.get("SNAP_TPU_BENCH_DEADLINE", 540))
+TPU_PROBE_TIMEOUT_S = float(os.environ.get("SNAP_TPU_BENCH_PROBE_S", 150))
 FALLBACK_BASELINE = 500_000.0    # reads/s, 32-thread CPU SNAP estimate
 
+T0 = time.time()
+_PRINTED = threading.Event()
+_STATE = {"stage": "startup", "extra": {}}
 
-def main():
-    from snap_rnaseq_tpu.utils.jax_setup import enable_compilation_cache
-    enable_compilation_cache()
-    import jax
-    from snap_rnaseq_tpu.index.genome import genome_from_codes
-    from snap_rnaseq_tpu.index.hash_index import GenomeIndex, build_index
-    from snap_rnaseq_tpu.models.paired import PairedAligner
-    from snap_rnaseq_tpu.models.single import SingleAligner
-    from snap_rnaseq_tpu.utils.synth_genome import hg_like_genome, wgsim_pairs
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    baseline = FALLBACK_BASELINE
-    baseline_src = "fallback-constant"
-    meas = os.path.join(here, "BASELINE_MEASURED.json")
+def _emit(value, unit="reads/s", vs=None, **extra):
+    """Print the single JSON result line exactly once."""
+    if _PRINTED.is_set():
+        return
+    _PRINTED.set()
+    base = _STATE["extra"].copy()
+    base.update(extra)
+    print(json.dumps({
+        "metric": "reads aligned/sec/chip (100bp PE, "
+                  f"{GENOME_BASES // 1_000_000}Mb hg-like genome, "
+                  "paired defaults)",
+        "value": round(float(value), 1),
+        "unit": unit,
+        "vs_baseline": round(float(vs), 4) if vs is not None else None,
+        "extra": base,
+    }), flush=True)
+
+
+def _watchdog():
+    while not _PRINTED.wait(timeout=2.0):
+        if time.time() - T0 > DEADLINE_S:
+            _emit(0.0, vs=0.0, error=f"deadline {DEADLINE_S}s hit during "
+                  f"stage '{_STATE['stage']}'")
+            sys.stdout.flush()
+            os._exit(3)
+
+
+def _probe_tpu() -> bool:
+    """Check in a subprocess whether the configured (axon/TPU) backend can
+    actually initialize — it can hang forever when the tunnel is down."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return False
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128,128)); (x@x).block_until_ready(); "
+            "print('OK', jax.default_backend())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=TPU_PROBE_TIMEOUT_S)
+        return r.returncode == 0 and "OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _load_baseline():
+    baseline, src = FALLBACK_BASELINE, "fallback-constant"
+    meas = os.path.join(HERE, "BASELINE_MEASURED.json")
     if os.path.exists(meas):
         with open(meas) as f:
             m = json.load(f)
-        baseline = float(m.get("paired_reads_per_sec_32t_estimate")
-                         or m.get("reads_per_sec_32t_estimate"))
-        baseline_src = "measured (see BASELINE_MEASURED.json)"
+        v = (m.get("paired_reads_per_sec_32t_estimate")
+             or m.get("reads_per_sec_32t_estimate"))
+        if v:
+            baseline = float(v)
+            src = "measured (see BASELINE_MEASURED.json)"
+    return baseline, src
 
-    cache_dir = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"),
-        f"snap_tpu_bench_hg{GENOME_BASES // 1_000_000}_s20")
+
+def _bench_index(cache_dir):
+    from snap_rnaseq_tpu.index.genome import genome_from_codes
+    from snap_rnaseq_tpu.index.hash_index import GenomeIndex, build_index
+    from snap_rnaseq_tpu.utils.synth_genome import hg_like_genome
     if os.path.exists(os.path.join(cache_dir, "index.json")):
-        index = GenomeIndex.load(cache_dir)
-    else:
-        codes = hg_like_genome(GENOME_BASES, seed=0)
-        index = build_index(genome_from_codes(codes), seed_len=20)
+        _STATE["stage"] = "index-load"
+        return GenomeIndex.load(cache_dir)
+    _STATE["stage"] = "index-build"
+    codes = hg_like_genome(GENOME_BASES, seed=0)
+    index = build_index(genome_from_codes(codes), seed_len=20)
+    try:
         index.save(cache_dir)
+    except OSError:
+        pass
+    return index
+
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    _STATE["stage"] = "tpu-probe"
+    on_tpu = _probe_tpu()
+    if not on_tpu:
+        # JAX_PLATFORMS=cpu alone does NOT stop the axon plugin from
+        # initializing (and hanging) on this host; the config update after
+        # import — before any backend use — is the working formulation.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print(f"bench: TPU backend unreachable within {TPU_PROBE_TIMEOUT_S}s"
+              " — falling back to CPU backend (honest, labelled)",
+              file=sys.stderr, flush=True)
+        _STATE["extra"]["backend"] = "cpu-fallback (TPU tunnel unreachable)"
+        # keep XLA:CPU compile + run of the full engine inside the budget
+        global BATCH_PAIRS, ROUNDS
+        BATCH_PAIRS = min(BATCH_PAIRS, 128)
+        ROUNDS = min(ROUNDS, 3)
+
+    from snap_rnaseq_tpu.utils.jax_setup import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from snap_rnaseq_tpu.models.paired import PairedAligner
+    from snap_rnaseq_tpu.utils.synth_genome import wgsim_pairs
+
+    baseline, baseline_src = _load_baseline()
+    _STATE["extra"].update(baseline_reads_per_sec=baseline,
+                           baseline_source=baseline_src,
+                           batch_pairs=BATCH_PAIRS)
+
+    cache_root = os.environ.get("SNAP_TPU_BENCH_CACHE", "/root/bench_cache")
+    cache_dir = os.path.join(
+        cache_root, f"hg{GENOME_BASES // 1_000_000}_s20")
+    t = time.time()
+    index = _bench_index(cache_dir)
+    _STATE["extra"]["index_ready_s"] = round(time.time() - t, 1)
+
+    _STATE["stage"] = "read-synth"
     codes = np.asarray(index.genome.codes)
     pad = int(index.genome.piece_offsets[0])
     body = codes[pad:pad + GENOME_BASES]
-
-    paired = PairedAligner(index)
-    single = SingleAligner(index)
-
-    import jax.numpy as jnp
     pe_batches = []
     for s in range(3):
         r0, q0, r1, q1, _, _ = wgsim_pairs(body, BATCH_PAIRS, READ_LEN,
                                            seed=s)
         pe_batches.append(tuple(jnp.asarray(x) for x in (r0, q0, r1, q1)))
 
+    _STATE["stage"] = "pe-compile"
+    paired = PairedAligner(index)
+    t = time.time()
     out = paired.align_batch_device(*pe_batches[0])
     jax.block_until_ready(out["pair_found"])
+    _STATE["extra"]["pe_compile_s"] = round(time.time() - t, 1)
+
+    _STATE["stage"] = "pe-measure"
+    # Adaptive rounds: stop early if the deadline nears, compute rps from
+    # whatever completed (>=1 round).  One final sync only (PERF.md
+    # methodology — per-call syncs through axon lie).
     t0 = time.time()
     n = 0
     for i in range(ROUNDS):
         out = paired.align_batch_device(*pe_batches[i % 3])
         n += 2 * BATCH_PAIRS
-    np.asarray(out["pair_found"]).sum()
+        if time.time() - T0 > DEADLINE_S - 60 and i >= 1:
+            break
+    pair_found = np.asarray(out["pair_found"])
     pe_dt = time.time() - t0
     pe_rps = n / pe_dt
-    pair_frac = float(np.asarray(out["pair_found"]).mean())
+    _STATE["extra"].update(
+        rounds_completed=n // (2 * BATCH_PAIRS),
+        fraction_pairs_found=round(float(pair_found.mean()), 4))
 
+    # Headline is ready: print it NOW; everything after is best-effort.
+    _emit(pe_rps, vs=pe_rps / baseline)
+
+    if time.time() - T0 < DEADLINE_S - 120:
+        try:
+            _se_extra(index, pe_batches, baseline)
+        except Exception as e:    # extra only — never fail the bench
+            print(f"bench: SE extra failed: {e}", file=sys.stderr)
+    sys.stderr.flush()
+    os._exit(0)
+
+
+def _se_extra(index, pe_batches, baseline):
+    """Single-end number on the same genome, reported to stderr (the
+    driver's parser takes only the one stdout JSON line)."""
+    import jax
+    import numpy as np
+    from snap_rnaseq_tpu.models.single import SingleAligner
+    single = SingleAligner(index)
     se_batches = [(r0, q0) for (r0, q0, _, _) in pe_batches]
     sout = single.align_batch_device(*se_batches[0])
     jax.block_until_ready(sout["result"])
@@ -97,26 +228,23 @@ def main():
     ns = 0
     for i in range(ROUNDS):
         sout = single.align_batch_device(*se_batches[i % 3])
-        ns += BATCH_PAIRS
+        ns += se_batches[0][0].shape[0]
+        if time.time() - T0 > DEADLINE_S - 30:
+            break
     se_aligned = float((np.asarray(sout["result"]) > 0).mean())
     se_rps = ns / (time.time() - t0)
-
-    print(json.dumps({
-        "metric": "reads aligned/sec/chip (100bp PE, 250Mb hg-like genome, "
-                  "paired defaults)",
-        "value": round(pe_rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(pe_rps / baseline, 4),
-        "extra": {
-            "batch_pairs": BATCH_PAIRS, "rounds": ROUNDS,
-            "fraction_pairs_found": round(pair_frac, 4),
-            "single_end_reads_per_sec": round(se_rps, 1),
-            "single_end_fraction_aligned": round(se_aligned, 4),
-            "baseline_reads_per_sec": baseline,
-            "baseline_source": baseline_src,
-        },
-    }))
+    print(json.dumps({"single_end_reads_per_sec": round(se_rps, 1),
+                      "single_end_fraction_aligned": round(se_aligned, 4),
+                      "vs_baseline": round(se_rps / baseline, 4)}),
+          file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:     # noqa: BLE001 — always print the line
+        import traceback
+        traceback.print_exc()
+        _emit(0.0, vs=0.0, error=f"{type(e).__name__}: {e}",
+              stage=_STATE["stage"])
+        os._exit(2)

@@ -113,6 +113,14 @@ def _add_align_flags(p: argparse.ArgumentParser, paired: bool):
     p.add_argument("-a", dest="_deprecated_a", default=None,
                    help="deprecated (accepted, consumes one argument)")
     p.add_argument("--help", action="help")
+    # multi-host data parallelism (parallel/multihost.py): --hosts N with
+    # --host-id runs THIS process's shard of a fleet (per-host pipelines,
+    # jax.distributed stats merge); --hosts N alone spawns N local worker
+    # processes (the simulation the dryrun uses).  RangeSplitter.h:37-55 /
+    # ReadSupplierQueue.h:70-198 analog.
+    p.add_argument("--hosts", dest="n_hosts", type=int, default=1)
+    p.add_argument("--host-id", dest="host_id", type=int, default=None)
+    p.add_argument("--coordinator", dest="coordinator", default=None)
     if paired:
         p.add_argument("-s", dest="spacing", type=int, nargs=2,
                        default=[d["min_spacing"], d["max_spacing"]],
@@ -253,6 +261,23 @@ def cmd_single(argv):
                           min_percent_above_phred=a.min_percent,
                           phred_offset=a.phred_offset, suppress=a.suppress)
     cmdline = "snap-rna-tpu single " + " ".join(pos + flags)
+    if a.n_hosts > 1:
+        if transcriptome_dir is not None or not isinstance(fastq, str):
+            raise SystemExit("--hosts applies to single plain-FASTQ DNA runs")
+        from .parallel import multihost as mh
+        if a.host_id is not None:
+            merged = mh.run_host(genome_dir, fastq, a.output,
+                                 host_id=a.host_id, n_hosts=a.n_hosts,
+                                 paired=False, coordinator=a.coordinator,
+                                 sorted_output=a.sorted_output,
+                                 batch_size=a.batch_size)
+        else:
+            merged = mh.launch_local(a.n_hosts, genome_dir, fastq, a.output,
+                                     paired=False,
+                                     sorted_output=a.sorted_output,
+                                     batch_size=a.batch_size)
+        print("multihost:", merged)
+        return 0
     aligner_kw = dict(num_seeds=a.num_seeds, seed_coverage=a.seed_coverage,
                       extra_search_depth=a.extra_search_depth,
                       explore_popular=a.explore_popular,
@@ -323,6 +348,24 @@ def cmd_paired(argv):
         min_percent_above_phred=a.min_percent, phred_offset=a.phred_offset,
         suppress=a.suppress, ignore_mismatched_ids=a.ignore_mismatched_ids)
     cmdline = "snap-rna-tpu paired " + " ".join(pos + flags)
+    if a.n_hosts > 1:
+        if transcriptome_dir is not None:
+            raise SystemExit("--hosts currently applies to the DNA paired "
+                             "pipeline (RNA multi-host: run per-host shards)")
+        from .parallel import multihost as mh
+        if a.host_id is not None:
+            merged = mh.run_host(genome_dir, (fq1, fq2), a.output,
+                                 host_id=a.host_id, n_hosts=a.n_hosts,
+                                 paired=True, coordinator=a.coordinator,
+                                 sorted_output=a.sorted_output,
+                                 batch_size=a.batch_size)
+        else:
+            merged = mh.launch_local(a.n_hosts, genome_dir, (fq1, fq2),
+                                     a.output, paired=True,
+                                     sorted_output=a.sorted_output,
+                                     batch_size=a.batch_size)
+        print("multihost:", merged)
+        return 0
     for max_hits, max_dist in _sweep(a):
         if transcriptome_dir is None:
             pipe = PairedEndPipeline(_load_index_cached(genome_dir),

@@ -142,6 +142,13 @@ class GenomeIndex:
         np.save(os.path.join(directory, "shard_starts.npy"), self.shard_starts)
         np.save(os.path.join(directory, "overflow.npy"), self.overflow)
         np.save(os.path.join(directory, "shard_ovf_starts.npy"), self.shard_ovf_starts)
+        # A rebuilt index invalidates any cached device bucket layout for
+        # the PREVIOUS contents of this directory (the layout is a pure
+        # function of the table; a stale one silently mislooks up seeds).
+        stale = os.path.join(directory, "bucket_layout_v2.npz")
+        if os.path.exists(stale):
+            os.remove(stale)
+        object.__setattr__(self, "_dir", directory)
 
     @classmethod
     def load(cls, directory: str, mmap: bool = True) -> "GenomeIndex":
@@ -301,26 +308,48 @@ def build_cuckoo_layout(ht_keys, ht_val1, ht_val2, shard_starts,
     return dict(ck_buckets=buckets1, ck_buckets2=buckets2, ck_stash=stash)
 
 
+def _table_fingerprint(index: "GenomeIndex") -> np.ndarray:
+    """Cheap content fingerprint of the hash table, used to tie a cached
+    bucket layout to the table it was built from.  Strided samples (so the
+    cost is O(MB) even on multi-GB tables) + exact shape/occupancy counts;
+    any rebuild into the same directory changes it."""
+    import hashlib
+    h = hashlib.blake2b(digest_size=16)
+    for arr in (index.ht_keys, index.ht_val1, index.ht_val2,
+                index.shard_starts, index.overflow):
+        a = np.asarray(arr)
+        h.update(np.int64(a.shape[0]).tobytes())
+        stride = max(1, a.shape[0] // 65536)
+        h.update(np.ascontiguousarray(a[::stride]).tobytes())
+    h.update(np.int64(index.seed_len).tobytes())
+    return np.frombuffer(h.digest(), dtype=np.uint8)
+
+
 def cuckoo_layout_for(index: "GenomeIndex", verbose: bool = False) -> dict:
     """Build the device bucket layout, memoized on the index object and —
     when the index came from / lives in a directory — cached on disk
-    beside it (the layout is a pure function of the table contents)."""
+    beside it (the layout is a pure function of the table contents).
+    The cache carries a content fingerprint and is rebuilt on mismatch,
+    so a stale layout can never serve lookups for a rebuilt table."""
     cached = getattr(index, "_cuckoo_layout", None)
     if cached is not None:
         return cached
     d = getattr(index, "_dir", None)
     path = os.path.join(d, "bucket_layout_v2.npz") if d else None
+    fp = _table_fingerprint(index)
     if path and os.path.exists(path):
         z = np.load(path)
-        cached = dict(ck_buckets=z["ck_buckets"],
-                      ck_buckets2=z["ck_buckets2"], ck_stash=z["ck_stash"])
-    else:
+        if "fingerprint" in z and np.array_equal(z["fingerprint"], fp):
+            cached = dict(ck_buckets=z["ck_buckets"],
+                          ck_buckets2=z["ck_buckets2"],
+                          ck_stash=z["ck_stash"])
+    if cached is None:
         cached = build_cuckoo_layout(index.ht_keys, index.ht_val1,
                                      index.ht_val2, index.shard_starts,
                                      verbose=verbose)
         if path:
             try:
-                np.savez(path, **cached)
+                np.savez(path, fingerprint=fp, **cached)
             except OSError:
                 pass    # read-only index dir: memoize in memory only
     object.__setattr__(index, "_cuckoo_layout", cached)
@@ -343,24 +372,25 @@ def build_index(genome: Genome, seed_len: int, load_factor: float = 0.7,
     fwd = fwd[valid]
     rc = rc[valid]
 
-    canonical = np.minimum(fwd, rc)
-    half = (fwd > rc).astype(np.uint8)   # 1 -> occurrence of the higher seed (value2)
+    # ONE radix-sortable u64 key: (canonical << 1) | half — canonical uses
+    # <= 2*25 bits so the packed key always fits.  A single stable integer
+    # argsort (numpy radix) replaces the old 3-key lexsort (3 mergesort
+    # passes); stability keeps locations ASCENDING within each group (the
+    # seed stream is position-ordered), and _grouped_tables writes overflow
+    # lists with reversed ranks to recover the reference's descending order.
+    sortkey = (np.minimum(fwd, rc) << np.uint64(1)) | (fwd > rc)
     del fwd, rc
-
-    # Sort by (canonical, half, descending location): one pass gives us group
-    # boundaries AND the reference's descending overflow-list order.
-    order = np.lexsort((np.uint32(0xFFFFFFFF) - locs, half, canonical))
-    ck = canonical[order]
-    ch = half[order]
+    order = np.argsort(sortkey, kind="stable")
+    sk = sortkey[order]
     cl = locs[order]
-    del canonical, half, locs, order
+    del sortkey, locs, order
 
     (distinct_keys, val1, val2, overflow, multi_entry_starts,
-     multi_keys) = _grouped_tables(ck, ch, cl, genome.num_bases, 0)
+     multi_keys) = _grouped_tables(sk, cl, genome.num_bases, 0)
     overflow_len = overflow.shape[0]
     if genome.num_bases + overflow_len > 0xFFFFFFF0:
         raise ValueError("overflow table too large; use a longer seed")
-    del ck, ch, cl
+    del sk, cl
 
     # shard by high bases; distinct_keys are sorted so shards are contiguous
     n_shards = 4 ** max(0, seed_len - 16)
@@ -398,27 +428,35 @@ def entry_starts_at(is_multi: np.ndarray, entry_starts: np.ndarray) -> np.ndarra
     return out
 
 
-def _grouped_tables(ck, ch, cl, num_bases, ovf_base):
-    """Core grouping over a SORTED (canonical, half, desc-location) triple.
+def _grouped_tables(sk, cl, num_bases, ovf_base):
+    """Core grouping over a SORTED combined-key stream.
 
-    Works on any canonical-contiguous slice of the seed stream (the whole
-    genome, or one shard's bucket in the chunked builder); overflow
-    pointers are emitted relative to `ovf_base` so per-shard chunks
-    concatenate into one global overflow table.
+    ``sk`` is the u64 packed key ``(canonical << 1) | half`` and ``cl`` the
+    matching locations, sorted stably by ``sk`` — so locations are
+    ASCENDING within each group (the seed stream is position-ordered).
+    Works on any canonical-contiguous slice (the whole genome, or one
+    shard's bucket in the chunked builder); overflow pointers are emitted
+    relative to ``ovf_base`` so per-shard chunks concatenate into one
+    global overflow table.  Overflow location lists are written with
+    REVERSED ranks, recovering the reference's descending order
+    (GenomeIndex.cpp:538-620) without a location sort key.
 
     Returns (distinct_keys u64, val1, val2, overflow_chunk u32,
     multi_entry_starts int64 absolute, multi_keys u64).
     """
-    n = ck.shape[0]
+    n = sk.shape[0]
     if n == 0:
         z32 = np.zeros(0, np.uint32)
         return (np.zeros(0, np.uint64), z32, z32, z32,
                 np.zeros(0, np.int64), np.zeros(0, np.uint64))
+    # element indexes stay well under 2^31 for non-chunked builds and for
+    # per-shard chunks at hg19 scale; int32 halves the cumsum/gather traffic
+    idt = np.int32 if n < 2**31 else np.int64
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
-    np.logical_or(ck[1:] != ck[:-1], ch[1:] != ch[:-1], out=new_group[1:])
-    group_start = np.nonzero(new_group)[0]
-    group_count = np.diff(np.append(group_start, n))
+    np.not_equal(sk[1:], sk[:-1], out=new_group[1:])
+    group_start = np.nonzero(new_group)[0].astype(idt)
+    group_count = np.diff(group_start, append=idt(n))
     n_groups = group_start.shape[0]
 
     genome_size = np.uint32(num_bases)
@@ -426,19 +464,21 @@ def _grouped_tables(ck, ch, cl, num_bases, ovf_base):
     # overflow layout: concatenated [count, locs...] for every group with >=2 hits
     is_multi = group_count >= 2
     multi_counts = group_count[is_multi]
-    entry_sizes = multi_counts + 1
+    entry_sizes = multi_counts.astype(np.int64) + 1
     entry_starts = np.concatenate(([0], np.cumsum(entry_sizes)))[:-1]
     overflow_len = int(entry_sizes.sum()) if multi_counts.size else 0
     overflow = np.empty(overflow_len, dtype=np.uint32)
     if overflow_len:
         overflow[entry_starts] = multi_counts.astype(np.uint32)
         multi_group_idx = np.nonzero(is_multi)[0]
-        elem_group = np.cumsum(new_group) - 1
+        elem_group = np.cumsum(new_group, dtype=idt) - idt(1)
         in_multi = is_multi[elem_group]
-        rank = np.arange(n, dtype=np.int64) - group_start[elem_group]
+        rank = np.arange(n, dtype=idt) - group_start[elem_group]
         slot_of_group = np.full(n_groups, -1, dtype=np.int64)
         slot_of_group[multi_group_idx] = entry_starts
-        dest = slot_of_group[elem_group[in_multi]] + 1 + rank[in_multi]
+        eg_m = elem_group[in_multi]
+        # ascending input + reversed rank -> descending stored list
+        dest = slot_of_group[eg_m] + group_count[eg_m] - rank[in_multi]
         overflow[dest] = cl[in_multi]
 
     # per-(key,half) value (overflow pointers rebased by ovf_base)
@@ -448,8 +488,8 @@ def _grouped_tables(ck, ch, cl, num_bases, ovf_base):
         cl[group_start].astype(np.uint64)).astype(np.uint32)
 
     # collapse to distinct keys: (value1, value2)
-    key_of_group = ck[group_start]
-    half_of_group = ch[group_start]
+    sk_of_group = sk[group_start]
+    key_of_group = sk_of_group >> np.uint64(1)
     new_key = np.empty(n_groups, dtype=bool)
     new_key[0] = True
     np.not_equal(key_of_group[1:], key_of_group[:-1], out=new_key[1:])
@@ -459,8 +499,8 @@ def _grouped_tables(ck, ch, cl, num_bases, ovf_base):
 
     val1 = np.full(n_keys, _UNUSED, dtype=np.uint32)
     val2 = np.full(n_keys, _UNUSED, dtype=np.uint32)
-    key_id_of_group = np.cumsum(new_key) - 1
-    h0 = half_of_group == 0
+    key_id_of_group = (np.cumsum(new_key, dtype=idt) - idt(1))
+    h0 = (sk_of_group & np.uint64(1)) == 0
     val1[key_id_of_group[h0]] = group_value[h0]
     val2[key_id_of_group[~h0]] = group_value[~h0]
     return (distinct_keys.astype(np.uint64), val1, val2, overflow,
@@ -483,22 +523,30 @@ def _insert_all(ht_keys, ht_val1, ht_val2, shard_starts, shard_sizes,
     idx = murmur_finalize_u32(keys_u32).astype(np.int64) % np.maximum(sizes, 1)
     pending = np.arange(n)
     n_probes = np.zeros(n, dtype=np.int64)
+    # slot-claim scratch, reused across rounds WITHOUT clearing: every slot
+    # read in a round was just written in the same round, so stale entries
+    # are never observed.  Writing candidates REVERSED makes the lowest
+    # pending id win per slot (numpy fancy assignment keeps the last
+    # write), reproducing the old np.unique first-occurrence winner —
+    # layouts stay bit-identical — at O(candidates) instead of a sort.
+    claim = np.empty(int(shard_starts[-1]) if len(shard_starts) else 0,
+                     dtype=np.int64)
     round_no = 0
     while pending.size:
         slots = (base[pending] + idx[pending])
         free = ht_val1[slots] == _EMPTY
-        cand = pending[free]
-        cand_slots = slots[free]
-        # first pending key per slot wins
-        uniq_slots, first = np.unique(cand_slots, return_index=True)
-        winners = cand[first]
-        ht_keys[uniq_slots] = keys_u32[winners]
-        ht_val1[uniq_slots] = val1[winners]
-        ht_val2[uniq_slots] = val2[winners]
+        free_pos = np.nonzero(free)[0]
+        cand = pending[free_pos]
+        cand_slots = slots[free_pos]
+        claim[cand_slots[::-1]] = cand[::-1]
+        won = claim[cand_slots] == cand
+        winners = cand[won]
+        win_slots = cand_slots[won]
+        ht_keys[win_slots] = keys_u32[winners]
+        ht_val1[win_slots] = val1[winners]
+        ht_val2[win_slots] = val2[winners]
         placed = np.zeros(pending.shape[0], dtype=bool)
-        placed_idx = np.zeros(n, dtype=bool)
-        placed_idx[winners] = True
-        placed = placed_idx[pending]
+        placed[free_pos[won]] = True
         pending = pending[~placed]
         if pending.size:
             n_probes[pending] += 1
@@ -621,10 +669,14 @@ def build_index_chunked(genome: Genome, seed_len: int,
             ck = np.asarray(bk[lo:hi])
             ch = np.asarray(bh[lo:hi])
             cl = np.asarray(bl[lo:hi])
-            order = np.lexsort((np.uint32(0xFFFFFFFF) - cl, ch, ck))
-            ck64 = ck[order].astype(np.uint64) | (np.uint64(s) << np.uint64(32))
+            # same combined-key radix sort as build_index; the spill
+            # preserved position order, so stability keeps locations
+            # ascending within groups (bit-identical final tables)
+            sk33 = (ck.astype(np.uint64) << np.uint64(1)) | ch
+            order = np.argsort(sk33, kind="stable")
+            sk = sk33[order] | (np.uint64(s) << np.uint64(33))
             (dk, v1, v2, ovf, m_starts, m_keys) = _grouped_tables(
-                ck64, ch[order], cl[order], genome.num_bases, ovf_base)
+                sk, cl[order], genome.num_bases, ovf_base)
             keys_l.append(dk)
             v1_l.append(v1)
             v2_l.append(v2)

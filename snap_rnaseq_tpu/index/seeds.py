@@ -31,12 +31,21 @@ def pack_all_seeds(codes: np.ndarray, seed_len: int):
     fwd = np.zeros(m, dtype=np.uint64)
     rc = np.zeros(m, dtype=np.uint64)
     valid = np.ones(m, dtype=bool)
+    # in-place formulation: one reused u64/bool scratch instead of five
+    # fresh temporaries per base position — the build host is memory-
+    # bandwidth-bound, so allocation/page-fault traffic dominates
+    tmp = np.empty(m, dtype=np.uint64)
+    tb = np.empty(m, dtype=bool)
     for i in range(seed_len):
         col = codes[i:m + i]
-        valid &= col < 4
+        np.less(col, 4, out=tb)
+        np.logical_and(valid, tb, out=valid)
         c = col.astype(np.uint64)
-        fwd |= c << np.uint64(2 * (seed_len - 1 - i))
-        rc |= (c ^ np.uint64(3)) << np.uint64(2 * i)
+        np.left_shift(c, np.uint64(2 * (seed_len - 1 - i)), out=tmp)
+        np.bitwise_or(fwd, tmp, out=fwd)
+        np.bitwise_xor(c, np.uint64(3), out=c)
+        np.left_shift(c, np.uint64(2 * i), out=tmp)
+        np.bitwise_or(rc, tmp, out=rc)
     # Mask out junk bits from invalid windows so downstream code can't
     # accidentally treat them as real seeds.
     fwd[~valid] = 0

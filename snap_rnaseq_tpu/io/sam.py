@@ -240,14 +240,20 @@ class SamRecordBuilder:
         rid = read.rid
         if mate is not None:
             # Pairs must share one QNAME: truncate matching trailing /1 /2
-            # from the FULL ids before space-truncation, exactly the
-            # reference's check (ReadWriter.cpp:148-162 — equal lengths,
-            # '/' at len-2, last chars in {1,2} and different).
+            # from the FULL ids before space-truncation, replicating the
+            # reference's LITERAL check (ReadWriter.cpp:154-162) including
+            # its typo: the second clause is (lastChar0=='1'||lastChar1=='2')
+            # with lastChar0 reused, so a pair arriving in (/2,/1) order is
+            # NOT truncated by the binary.  We match that bit-for-bit so the
+            # reference-binary oracle diffs stay clean even when the
+            # orphan-tolerant interleaved pairing yields swapped mate order.
             mid = mate["read"].rid
+            c0, c1 = rid[-1:], mid[-1:]
             if (len(rid) == len(mid) and len(rid) > 2
                     and rid[-2:-1] == b"/" and mid[-2:-1] == b"/"
-                    and rid[-1:] in (b"1", b"2") and mid[-1:] in (b"1", b"2")
-                    and rid[-1:] != mid[-1:]):
+                    and c0 in (b"1", b"2")
+                    and (c0 == b"1" or c1 == b"2")
+                    and c0 != c1):
                 rid = rid[:-2]
         qname = rid.split(b" ")[0].split(b"\t")[0]
         return dict(qname=qname, flags=flags, rname=rname, pos=pos,

@@ -203,7 +203,10 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
             # the replay's final-limit filter by recomputing in_prob cheaply
             dense = _dense_per_read(u, sc, sc["scored_ok"], B,
                                     ecfg.cand_per_read)
-            return dict(dense=dense, single=single_out)
+            return dict(dense=dense, single=single_out,
+                        n_scored=sc["scored_ok"].sum(),
+                        score_overflow=sc.get("score_overflow",
+                                              jnp.int32(0)))
 
         if ecfg.compact_per_read > 0:
             small = max(4, ecfg.compact_per_read // 4)
@@ -223,10 +226,16 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
                                          ecfg)
             eo = dict(dense=_dense_per_read(u_full, sc, sc["scored_ok"], B,
                                             ecfg.cand_per_read),
-                      single=single_out)
+                      single=single_out,
+                      n_scored=sc["scored_ok"].sum(),
+                      score_overflow=jnp.int32(0))
         ends.append(dict(dense=eo["dense"], single=eo["single"],
                          popular=eo["single"]["popular"],
-                         truncated=cands["truncated"]))
+                         truncated=cands["truncated"],
+                         n_lookups=seeds["found"].sum(),
+                         n_candidates=cands["live"].sum(),
+                         n_scored=eo["n_scored"],
+                         score_overflow=eo["score_overflow"]))
 
     pr = pair_phase(ends[0]["dense"], ends[1]["dense"], cfg,
                     ends[0]["popular"], ends[1]["popular"])
@@ -256,6 +265,10 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
         out[f"mapq{e}"] = jnp.where(
             jnp.where(pf, True, s["result"] != NOT_FOUND), mapq, 0)
         out[f"truncated{e}"] = ends[e]["truncated"]
+        # per-end device counters (BaseAligner.h:113-118 analog), consumed
+        # by the pipeline's perf log (models/paired_pipeline.py drain())
+        for c in ("n_lookups", "n_candidates", "n_scored", "score_overflow"):
+            out[f"{c}{e}"] = ends[e][c]
     return out
 
 

@@ -7,6 +7,7 @@ emission with mate fields/TLEN.
 """
 from __future__ import annotations
 
+import os
 import time
 from collections import defaultdict
 from dataclasses import dataclass
@@ -142,8 +143,14 @@ class PairedEndPipeline:
                 builder.flush(out)
                 self.wait.write_s += time.time() - tw
 
-            for r0, r1 in open_paired_read_supplier(
-                    fq0, fq1, check_ids=not opt.ignore_mismatched_ids):
+            if isinstance(fq0, (str, os.PathLike)) or fq1 is not None:
+                pair_iter = open_paired_read_supplier(
+                    fq0, fq1, check_ids=not opt.ignore_mismatched_ids)
+            else:
+                # pre-built (r0, r1) iterator (multi-host range shards,
+                # parallel/multihost.py)
+                pair_iter = fq0
+            for r0, r1 in pair_iter:
                 stats.total_reads += 2
                 clip_read(r0, opt.clipping)
                 clip_read(r1, opt.clipping)

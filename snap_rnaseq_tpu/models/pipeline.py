@@ -12,6 +12,7 @@ unmapped without touching the aligner.
 """
 from __future__ import annotations
 
+import os
 import time
 from collections import defaultdict
 from dataclasses import dataclass
@@ -128,9 +129,14 @@ class SingleEndPipeline:
                 builder.flush(out)
                 self.wait.write_s += time.time() - tw
 
-            supplier = (open_multi_read_supplier(fastq_path)
-                        if isinstance(fastq_path, (list, tuple))
-                        else open_read_supplier(fastq_path))
+            if isinstance(fastq_path, (list, tuple)):
+                supplier = open_multi_read_supplier(fastq_path)
+            elif isinstance(fastq_path, (str, os.PathLike)):
+                supplier = open_read_supplier(fastq_path)
+            else:
+                # pre-built read iterator (multi-host range shards,
+                # parallel/multihost.py)
+                supplier = fastq_path
             for read in supplier:
                 stats.total_reads += 1
                 clip_read(read, opt.clipping)

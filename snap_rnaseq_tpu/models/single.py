@@ -477,12 +477,30 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     overflow = overflow + jnp.maximum(n0 - SB_big, 0)
 
     # buckets 1 and 2 (whole-read distance in (E0,E1] / (E1,e_max]) hold
-    # only error-dense reads — small pooled budgets suffice; overflow is
-    # counted
+    # only error-dense reads.  Bucket 1 is where near-repeat candidates
+    # (~5% divergence) land on repeat-dense genomes, and dropping them
+    # inflates MAPQ (they carry probability mass), so it gets the same
+    # two-tier cond as bucket 0: a small tier for the common case and a
+    # proportional big-tier fallback selected at runtime.  Bucket 2 (the
+    # deep tail) keeps the small pooled cap; overflow is counted.
     for keep, hi in ((keep1, E1), (keep2, e_max)):
         if hi <= E0 or (hi == e_max and e_max <= E1):
             continue
         SBt = min(max(B // 2, 256), C)
+        if hi == E1:
+            SBt_big = min(B * max(2, per_read // 4), C)
+            nk = keep.sum()
+            if SBt < SBt_big:
+                score, logp, loc_adj, scored_ok = jax.lax.cond(
+                    nk <= SBt,
+                    lambda s: run_bucket(keep, SBt, hi, *s),
+                    lambda s: run_bucket(keep, SBt_big, hi, *s),
+                    (score, logp, loc_adj, scored_ok))
+            else:
+                score, logp, loc_adj, scored_ok = run_bucket(
+                    keep, SBt_big, hi, score, logp, loc_adj, scored_ok)
+            overflow = overflow + jnp.maximum(nk - SBt_big, 0)
+            continue
         score, logp, loc_adj, scored_ok = run_bucket(
             keep, SBt, hi, score, logp, loc_adj, scored_ok)
         overflow = overflow + jnp.maximum(keep.sum() - SBt, 0)

@@ -39,13 +39,24 @@ from ..index.hash_index import GenomeIndex
 from ..models import single as sg
 
 
-def partition_index(index: GenomeIndex, n_idx: int) -> dict:
+def _use_cuckoo_lookup() -> bool:
+    """The SNAP_TPU_LOOKUP escape hatch (probe-chain fallback), honored by
+    the sharded path too so multichip lookup issues can be bisected against
+    the reference-layout probe kernel."""
+    import os
+    return os.environ.get("SNAP_TPU_LOOKUP", "cuckoo") == "cuckoo"
+
+
+def partition_index(index: GenomeIndex, n_idx: int,
+                    use_cuckoo: bool | None = None) -> dict:
     """Split the index into n_idx device slices (stacked leading axis).
 
     Each slice keeps the FULL logical-shard metadata vectors (n_shards
     entries) with size 0 for unowned tables, so the unmodified lookup kernel
     naturally misses on unowned seeds.
     """
+    if use_cuckoo is None:
+        use_cuckoo = _use_cuckoo_lookup()
     n_shards = index.n_shards
     if n_idx > n_shards:
         raise ValueError(f"cannot split {n_shards} logical tables over {n_idx} devices")
@@ -92,7 +103,15 @@ def partition_index(index: GenomeIndex, n_idx: int) -> dict:
 
     # per-device bucket (cuckoo) layouts at ONE common shape, so the
     # loop-free lookup runs inside shard_map (hashing uses GLOBAL shard
-    # ids via shard_base; see index/hash_index.py build_cuckoo_layout)
+    # ids via shard_base; see index/hash_index.py build_cuckoo_layout).
+    # With SNAP_TPU_LOOKUP=probe the (expensive) layout build is skipped
+    # and placeholder arrays keep the device-put plumbing uniform.
+    if not use_cuckoo:
+        return dict(ht_entries=entries, overflow=ovf,
+                    shard_start=sh_start, shard_size=sh_size, cuts=cuts,
+                    ck_buckets=np.zeros((n_idx, 1, 32), np.uint32),
+                    ck_buckets2=np.zeros((n_idx, 1, 32), np.uint32),
+                    ck_stash=np.zeros((n_idx, 1, 4), np.uint32))
     from ..index.hash_index import build_cuckoo_layout
     max_n = 0
     for d in range(n_idx):
@@ -136,7 +155,8 @@ class ShardedSingleAligner:
         self.cfg = cfg
         self.n_data = mesh.shape["data"]
         self.n_idx = mesh.shape["index"]
-        parts = partition_index(index, self.n_idx)
+        self._use_cuckoo = _use_cuckoo_lookup()
+        parts = partition_index(index, self.n_idx, self._use_cuckoo)
 
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(mesh, spec))
@@ -172,7 +192,8 @@ class ShardedSingleAligner:
             self._ht["ck_stash"],
             mesh=self.mesh, cfg=self.cfg.resolve_for_read_len(L),
             seed_len=self.index.seed_len,
-            read_len=L, genome_size=self.genome_size, n_idx=self.n_idx)
+            read_len=L, genome_size=self.genome_size, n_idx=self.n_idx,
+            use_cuckoo=self._use_cuckoo)
 
     def align_batch(self, reads: np.ndarray, quals: np.ndarray) -> dict:
         out = self.align_batch_device(reads, quals)
@@ -300,7 +321,8 @@ class ShardedPairedAligner:
         self.cfg = cfg
         self.n_data = mesh.shape["data"]
         self.n_idx = mesh.shape["index"]
-        parts = partition_index(index, self.n_idx)
+        self._use_cuckoo = _use_cuckoo_lookup()
+        parts = partition_index(index, self.n_idx, self._use_cuckoo)
 
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(mesh, spec))
@@ -334,7 +356,8 @@ class ShardedPairedAligner:
             self._ht["ck_buckets"], self._ht["ck_buckets2"],
             self._ht["ck_stash"],
             mesh=self.mesh, cfg=self.cfg, seed_len=self.index.seed_len,
-            read_len=L, genome_size=self.genome_size, n_idx=self.n_idx)
+            read_len=L, genome_size=self.genome_size, n_idx=self.n_idx,
+            use_cuckoo=self._use_cuckoo)
 
     def align_batch(self, reads0, quals0, reads1, quals1) -> dict:
         out = self.align_batch_device(reads0, quals0, reads1, quals1)
@@ -344,12 +367,13 @@ class ShardedPairedAligner:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cfg", "seed_len", "read_len", "genome_size",
-                     "n_idx"))
+                     "n_idx", "use_cuckoo"))
 def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
                           shard_start, shard_size, overflow, genome_codes,
                           piece_starts, schedule, wraps, ck_b1, ck_b2, ck_st,
                           *, mesh, cfg,
-                          seed_len, read_len, genome_size, n_idx):
+                          seed_len, read_len, genome_size, n_idx,
+                          use_cuckoo=True):
     from ..models.paired import (MAPQ_LIMIT_FOR_SINGLE_HIT, MULTIPLE_HITS,
                                  NOT_FOUND, SINGLE_HIT, _dense_per_read,
                                  pair_phase)
@@ -360,7 +384,7 @@ def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
         entries_l = entries_l[0]
         sstart_l, ssize_l, ovf_l = sstart_l[0], ssize_l[0], ovf_l[0]
         cuckoo_l = dict(ck_buckets=ck_b1_l[0], ck_buckets2=ck_b2_l[0],
-                        ck_stash=ck_st_l[0])
+                        ck_stash=ck_st_l[0]) if use_cuckoo else None
         B = reads0_l.shape[0]
 
         ends = []
@@ -416,12 +440,12 @@ def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cfg", "seed_len", "read_len", "genome_size",
-                     "n_idx"))
+                     "n_idx", "use_cuckoo"))
 def _sharded_align(reads, quals, ht_entries, shard_start,
                    shard_size, overflow, genome_codes, piece_starts,
                    schedule, wraps, ck_b1, ck_b2, ck_st,
                    *, mesh, cfg, seed_len, read_len,
-                   genome_size, n_idx):
+                   genome_size, n_idx, use_cuckoo=True):
 
     def step(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
              genome, pieces, ck_b1_l, ck_b2_l, ck_st_l):
@@ -429,7 +453,7 @@ def _sharded_align(reads, quals, ht_entries, shard_start,
         entries_l = entries_l[0]
         sstart_l, ssize_l, ovf_l = sstart_l[0], ssize_l[0], ovf_l[0]
         cuckoo_l = dict(ck_buckets=ck_b1_l[0], ck_buckets2=ck_b2_l[0],
-                        ck_stash=ck_st_l[0])
+                        ck_stash=ck_st_l[0]) if use_cuckoo else None
         B = reads_l.shape[0]
 
         _dense, out, _budget, trunc = _end_pipeline(
