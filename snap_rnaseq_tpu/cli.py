@@ -127,6 +127,10 @@ def _add_align_flags(p: argparse.ArgumentParser, paired: bool):
                        help="min and max spacing for paired ends")
         p.add_argument("-fs", dest="force_spacing", action="store_true",
                        help="force spacing to lie between min and max")
+        p.add_argument("-tmh", dest="transcriptome_multi_hits", type=int,
+                       default=1000,
+                       help="transcriptome multi-hit depth per end "
+                            "(reference maxHitsToGet, PairedAligner.cpp:584)")
         p.add_argument("-I", dest="ignore_mismatched_ids",
                        action="store_true",
                        help="don't require mate read IDs to match")
@@ -380,6 +384,7 @@ def cmd_paired(argv):
             pipe = RnaPairedEndPipeline(
                 genome_dir, transcriptome_dir, annotation, options=opt,
                 contamination_dir=a.contamination_dir, conf_diff=a.conf_diff,
+                transcriptome_multi_hits=a.transcriptome_multi_hits,
                 force_spacing=a.force_spacing, max_k=max_dist,
                 max_hits=max_hits, num_seeds=a.num_seeds,
                 extra_search_depth=a.extra_search_depth)

@@ -594,6 +594,11 @@ def build_index_chunked(genome: Genome, seed_len: int,
     transient overhead and ~1GB at hg19 scale.  The reference bounds build
     memory with approximate counters + precomputed bias tables instead
     (GenomeIndex.cpp:1109-1578); exact bucket spill needs neither.
+
+    The spill is a SINGLE pass: each chunk is packed once and its
+    (low-key, half<<33-combined sortkey, loc) records appended to
+    per-shard spill files — no counting prepass, so the seed stream is
+    packed exactly once (packing is ~1/4 of build time on this host).
     """
     import tempfile
 
@@ -609,7 +614,13 @@ def build_index_chunked(genome: Genome, seed_len: int,
     n_pos = genome.num_bases - seed_len + 1
     tail = seed_len - 1
 
-    def chunks():
+    with tempfile.TemporaryDirectory(dir=tmpdir) as td:
+        fk = [open(os.path.join(td, f"k{s:03d}"), "wb", buffering=1 << 18)
+              for s in range(n_shards)]
+        fh = [open(os.path.join(td, f"h{s:03d}"), "wb", buffering=1 << 16)
+              for s in range(n_shards)]
+        fl = [open(os.path.join(td, f"l{s:03d}"), "wb", buffering=1 << 18)
+              for s in range(n_shards)]
         for start in range(0, n_pos, chunk):
             stop = min(start + chunk, n_pos)
             fwd, rc, valid = pack_all_seeds(
@@ -617,30 +628,9 @@ def build_index_chunked(genome: Genome, seed_len: int,
             canonical = np.minimum(fwd, rc)
             half = (fwd > rc).astype(np.uint8)
             locs = (np.nonzero(valid)[0] + start).astype(np.uint32)
-            yield canonical[valid], half[valid], locs
-
-    # pass A: per-shard seed counts
-    shard_counts = np.zeros(n_shards, np.int64)
-    for canonical, half, locs in chunks():
-        shard_counts += np.bincount(
-            (canonical >> np.uint64(32)).astype(np.int64),
-            minlength=n_shards)
-    n_valid = int(shard_counts.sum())
-    shard_off = np.concatenate(([0], np.cumsum(shard_counts)))
-
-    # pass B: spill (low-key, half, loc) into shard-bucketed memmaps
-    with tempfile.TemporaryDirectory(dir=tmpdir) as td:
-        bk = np.lib.format.open_memmap(
-            os.path.join(td, "bk.npy"), mode="w+", dtype=np.uint32,
-            shape=(n_valid,))
-        bh = np.lib.format.open_memmap(
-            os.path.join(td, "bh.npy"), mode="w+", dtype=np.uint8,
-            shape=(n_valid,))
-        bl = np.lib.format.open_memmap(
-            os.path.join(td, "bl.npy"), mode="w+", dtype=np.uint32,
-            shape=(n_valid,))
-        cursor = shard_off[:-1].copy()
-        for canonical, half, locs in chunks():
+            canonical = canonical[valid]
+            half = half[valid]
+            del fwd, rc, valid
             sh = (canonical >> np.uint64(32)).astype(np.int64)
             order = np.argsort(sh, kind="stable")
             sh_s = sh[order]
@@ -650,25 +640,28 @@ def build_index_chunked(genome: Genome, seed_len: int,
             ch_s = half[order]
             cl_s = locs[order]
             for s in present:
-                lo, hi = bounds[s], bounds[s + 1]
-                dst = cursor[s]
-                bk[dst:dst + hi - lo] = ck_s[lo:hi]
-                bh[dst:dst + hi - lo] = ch_s[lo:hi]
-                bl[dst:dst + hi - lo] = cl_s[lo:hi]
-                cursor[s] += hi - lo
-        assert (cursor == shard_off[1:]).all()
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                fk[s].write(ck_s[lo:hi].tobytes())
+                fh[s].write(ch_s[lo:hi].tobytes())
+                fl[s].write(cl_s[lo:hi].tobytes())
+            if verbose:
+                print(f"  spilled {stop:,}/{n_pos:,} positions")
+        for f in fk + fh + fl:
+            f.close()
 
-        # pass C: per-shard sort + grouping, appended into global tables
+        # per-shard sort + grouping, appended into global tables
         keys_l, v1_l, v2_l, ovf_l = [], [], [], []
         multi_keys_l, multi_starts_l = [], []
         ovf_base = 0
         for s in range(n_shards):
-            lo, hi = int(shard_off[s]), int(shard_off[s + 1])
-            if hi == lo:
+            with open(os.path.join(td, f"k{s:03d}"), "rb") as f:
+                ck = np.frombuffer(f.read(), np.uint32)
+            if ck.size == 0:
                 continue
-            ck = np.asarray(bk[lo:hi])
-            ch = np.asarray(bh[lo:hi])
-            cl = np.asarray(bl[lo:hi])
+            with open(os.path.join(td, f"h{s:03d}"), "rb") as f:
+                ch = np.frombuffer(f.read(), np.uint8)
+            with open(os.path.join(td, f"l{s:03d}"), "rb") as f:
+                cl = np.frombuffer(f.read(), np.uint32)
             # same combined-key radix sort as build_index; the spill
             # preserved position order, so stability keeps locations
             # ascending within groups (bit-identical final tables)
@@ -685,7 +678,7 @@ def build_index_chunked(genome: Genome, seed_len: int,
             multi_starts_l.append(m_starts)
             ovf_base += ovf.shape[0]
             if verbose and s % 32 == 0:
-                print(f"  shard {s}/{n_shards}: {hi - lo:,} seeds")
+                print(f"  shard {s}/{n_shards}: {ck.size:,} seeds")
 
     cat = lambda lst, dt: (np.concatenate(lst) if lst
                            else np.zeros(0, dt))

@@ -125,30 +125,75 @@ def open_read_supplier(path):
     return fq.read_fastq(path)
 
 
-def _pair_interleaved(reads):
+class PairMatchStats:
+    """Orphan accounting for interleaved pairing (the reference's
+    "discarding %d+%d unpaired reads" counters,
+    PairedReadMatcher.cpp:104-110 + overflowMatched)."""
+
+    def __init__(self):
+        self.pairs_matched = 0
+        self.window_matched = 0      # matched within the rolling window
+        self.overflow_matched = 0    # matched beyond it (overflow map)
+        self.orphans_dropped = 0
+
+
+# two 10,000-read map generations before spilling to overflow — the
+# reference's unmatched[2] batch window (PairedReadMatcher.cpp:85,
+# constructor VariableSizeMap(10000) x 2)
+_MATCH_WINDOW = 10_000
+
+
+def _pair_interleaved(reads, match_stats: PairMatchStats | None = None):
     """PairedReadMatcher: pair mates by qname from one stream.
 
     The key drops everything after the first space/tab and a trailing /1
     or /2 (PairedReadMatcher.cpp:113-119).  Mates may arrive in any order
-    and any distance apart (the reference spills old unmatched reads to an
-    overflow map, PairedReadMatcher.cpp:120-138); reads whose mate never
-    appears are DROPPED with a warning at end of stream, mirroring the
-    reference's "discarding %d reads" path (PairedReadMatcher.cpp:104-110),
-    not an error."""
+    and ANY distance apart: a two-generation window of recent unmatched
+    reads rolls into an unbounded overflow map exactly like the
+    reference's unmatched[2] -> overflow spill
+    (PairedReadMatcher.cpp:120-138) — so a coordinate-sorted SAM with
+    mates megabytes apart still pairs fully.  Pairs are yielded
+    (ARRIVING read, stored mate), the reference's (read1=current,
+    read2=matched) order (PairedReadMatcher.cpp:148-188) — which is why a
+    normally-interleaved /1,/2 stream reaches the writer as (/2,/1) and
+    the QNAME-truncation typo (io/sam.py) then leaves ids untouched.
+    Reads whose mate never appears are DROPPED with a warning at end of
+    stream, mirroring "discarding %d+%d unpaired reads at eof"
+    (PairedReadMatcher.cpp:104-110), not an error."""
     import sys
-    pending: dict[bytes, Read] = {}
+    st = match_stats or PairMatchStats()
+    window: list[dict[bytes, Read]] = [{}, {}]
+    overflow: dict[bytes, Read] = {}
+    since_roll = 0
     for r in reads:
         key = bytes(r.rid.split(b" ")[0].split(b"\t")[0])
         if len(key) > 2 and key[-2:] in (b"/1", b"/2"):
             key = key[:-2]
-        mate = pending.pop(key, None)
-        if mate is None:
-            pending[key] = r
-        else:
-            yield mate, r
-    if pending:
-        print(f"warning: discarding {len(pending)} unpaired reads "
-              "in paired input", file=sys.stderr)
+        mate = window[0].pop(key, None) or window[1].pop(key, None)
+        if mate is not None:
+            st.pairs_matched += 1
+            st.window_matched += 1
+            yield r, mate
+            continue
+        mate = overflow.pop(key, None)
+        if mate is not None:
+            st.pairs_matched += 1
+            st.overflow_matched += 1
+            yield r, mate
+            continue
+        window[0][key] = r
+        since_roll += 1
+        if since_roll >= _MATCH_WINDOW:
+            overflow.update(window[1])
+            window[1] = window[0]
+            window[0] = {}
+            since_roll = 0
+    n_win = len(window[0]) + len(window[1])
+    n_ovf = len(overflow)
+    if n_win + n_ovf:
+        st.orphans_dropped += n_win + n_ovf
+        print(f"warning: PairedReadMatcher discarding {n_win}+{n_ovf} "
+              "unpaired reads at eof", file=sys.stderr)
 
 
 def read_ids_match(id0: bytes, id1: bytes) -> bool:

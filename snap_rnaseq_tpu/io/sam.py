@@ -242,15 +242,18 @@ class SamRecordBuilder:
             # Pairs must share one QNAME: truncate matching trailing /1 /2
             # from the FULL ids before space-truncation, replicating the
             # reference's LITERAL check (ReadWriter.cpp:154-162) including
-            # its typo: the second clause is (lastChar0=='1'||lastChar1=='2')
-            # with lastChar0 reused, so a pair arriving in (/2,/1) order is
-            # NOT truncated by the binary.  We match that bit-for-bit so the
-            # reference-binary oracle diffs stay clean even when the
-            # orphan-tolerant interleaved pairing yields swapped mate order.
+            # its typo.  The decision is made once per PAIR on (first mate,
+            # second mate) — lastChar0 is always read0's — and applied to
+            # BOTH records; the typo'd second clause is
+            # (lastChar0=='1'||lastChar1=='2') with lastChar0 reused, so a
+            # pair whose FIRST mate ends in /2 (e.g. from the interleaved
+            # matcher's arrival order) is NOT truncated by the binary.  We
+            # match that bit-for-bit for oracle-diff cleanliness.
             mid = mate["read"].rid
-            c0, c1 = rid[-1:], mid[-1:]
+            id0, id1 = (rid, mid) if mate["first"] else (mid, rid)
+            c0, c1 = id0[-1:], id1[-1:]
             if (len(rid) == len(mid) and len(rid) > 2
-                    and rid[-2:-1] == b"/" and mid[-2:-1] == b"/"
+                    and id0[-2:-1] == b"/" and id1[-2:-1] == b"/"
                     and c0 in (b"1", b"2")
                     and (c0 == b"1" or c1 == b"2")
                     and c0 != c1):

@@ -4,6 +4,11 @@ Analog of PairedAlignerContext::runIterationThread (PairedAligner.cpp:547-668)
 minus the RNA layer (rna/pipeline.py adds the transcriptome + filter pass):
 per-pair quality filters, paired alignment with chimeric fallback, SAM
 emission with mate fields/TLEN.
+
+Three-stage async host flow (utils/async_stages.py — the ReadSupplierQueue/
+BufferedAsync analog): a reader thread parses+clips+filters, the main
+thread batches and dispatches to the device, a writer thread fetches
+device results and formats/writes records.
 """
 from __future__ import annotations
 
@@ -21,6 +26,7 @@ from ..io.readers import open_paired_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
 from ..io.sam import NOT_FOUND, passes_filter
 from ..io.writers import make_output_and_builder
+from ..utils.async_stages import OrderedWorker, PrefetchIterator
 from ..utils.stats import PairedAlignerStats, WaitProfile
 from ..utils.wgsim import wgsim_misaligned
 from .paired import PairedAligner, PairedAlignerConfig
@@ -105,7 +111,7 @@ class PairedEndPipeline:
                     stats.aligned_as_pairs += 2
                     stats.record_pair(loc1 - loc0, pair_score)
 
-            pending = []
+            writer = OrderedWorker(depth=4)
 
             def flush_bucket(L):
                 pairs = buckets.pop(L, [])
@@ -116,9 +122,7 @@ class PairedEndPipeline:
                 out_dev = self.aligner.align_batch_device(
                     jnp.asarray(b0.codes), jnp.asarray(b0.quals),
                     jnp.asarray(b1.codes), jnp.asarray(b1.quals))
-                pending.append((pairs, out_dev))
-                if len(pending) > 1:
-                    drain(*pending.pop(0))
+                writer.submit(drain, pairs, out_dev)
 
             def drain(pairs, out_dev):
                 td = time.time()
@@ -150,24 +154,34 @@ class PairedEndPipeline:
                 # pre-built (r0, r1) iterator (multi-host range shards,
                 # parallel/multihost.py)
                 pair_iter = fq0
-            for r0, r1 in pair_iter:
-                stats.total_reads += 2
-                clip_read(r0, opt.clipping)
-                clip_read(r1, opt.clipping)
-                bad = any(r.data_length < opt.min_read_length
-                          or count_ns(r) > maxk or not opt.quality_ok(r)
-                          for r in (r0, r1))
+
+            def emit_filtered(r0, r1):
+                stats.not_found += 2
+                if passes_filter(NOT_FOUND, opt.pass_filter):
+                    builder.add(r0, NOT_FOUND, -1, 0, 0,
+                                mate=dict(result=NOT_FOUND, location=-1,
+                                          direction=0, read=r1, first=True))
+                    builder.add(r1, NOT_FOUND, -1, 0, 0,
+                                mate=dict(result=NOT_FOUND, location=-1,
+                                          direction=0, read=r0, first=False))
+
+            def read_stage():
+                # runs on the reader thread: parse + clip + quality gates
+                for r0, r1 in pair_iter:
+                    clip_read(r0, opt.clipping)
+                    clip_read(r1, opt.clipping)
+                    bad = any(r.data_length < opt.min_read_length
+                              or count_ns(r) > maxk or not opt.quality_ok(r)
+                              for r in (r0, r1))
+                    yield bad, r0, r1
+
+            n_total = n_useful = 0
+            for bad, r0, r1 in PrefetchIterator(read_stage()):
+                n_total += 2
                 if bad:
-                    stats.not_found += 2
-                    if passes_filter(NOT_FOUND, opt.pass_filter):
-                        builder.add(r0, NOT_FOUND, -1, 0, 0,
-                                    mate=dict(result=NOT_FOUND, location=-1,
-                                              direction=0, read=r1, first=True))
-                        builder.add(r1, NOT_FOUND, -1, 0, 0,
-                                    mate=dict(result=NOT_FOUND, location=-1,
-                                              direction=0, read=r0, first=False))
+                    writer.submit(emit_filtered, r0, r1)
                     continue
-                stats.useful_reads += 2
+                n_useful += 2
                 if r0.data_length != r1.data_length:
                     # rare mixed-length pair: bucket by the max, N-padding
                     L = max(r0.data_length, r1.data_length)
@@ -178,8 +192,9 @@ class PairedEndPipeline:
                     flush_bucket(L)
             for L in list(buckets):
                 flush_bucket(L)
-            while pending:
-                drain(*pending.pop(0))
+            writer.close()
+            stats.total_reads += n_total
+            stats.useful_reads += n_useful
             builder.flush(out)
             stats.align_time = time.time() - t0
         finally:

@@ -26,6 +26,7 @@ from ..io.readers import open_multi_read_supplier, open_read_supplier
 from ..io.reads import CLIP_FRONT_AND_BACK, clip_read, count_ns, make_batch, quality_filter
 from ..io.sam import NOT_FOUND, passes_filter
 from ..io.writers import make_output_and_builder
+from ..utils.async_stages import OrderedWorker, PrefetchIterator
 from ..utils.stats import AlignerStats, WaitProfile
 from ..utils.wgsim import wgsim_misaligned
 from .single import SingleAligner, SingleAlignerConfig
@@ -76,10 +77,11 @@ class SingleEndPipeline:
         try:
             buckets: dict[int, list] = defaultdict(list)
             t0 = time.time()
-            # one batch in flight: JAX dispatch is async, so the device
-            # aligns batch N while the host formats batch N-1's records
-            # (the ReadSupplierQueue/double-buffering analog)
-            pending: list = []
+            # three-stage async flow (utils/async_stages.py): reader thread
+            # parses+clips+filters, main thread batches+dispatches, writer
+            # thread fetches device results and writes records — the
+            # ReadSupplierQueue / BufferedAsync analog
+            writer = OrderedWorker(depth=4)
 
             def flush_bucket(length: int):
                 reads = buckets.pop(length, [])
@@ -89,9 +91,7 @@ class SingleEndPipeline:
                 batch = make_batch(reads, length, opt.batch_size)
                 out_dev = self.aligner.align_batch_device(
                     jnp.asarray(batch.codes), jnp.asarray(batch.quals))
-                pending.append((reads, out_dev))
-                if len(pending) > 1:
-                    drain(*pending.pop(0))
+                writer.submit(drain, reads, out_dev)
 
             def drain(reads, out_dev):
                 td = time.time()
@@ -137,25 +137,36 @@ class SingleEndPipeline:
                 # pre-built read iterator (multi-host range shards,
                 # parallel/multihost.py)
                 supplier = fastq_path
-            for read in supplier:
-                stats.total_reads += 1
-                clip_read(read, opt.clipping)
-                if (read.data_length < opt.min_read_length
-                        or count_ns(read) > maxk
-                        or not opt.quality_ok(read)):
-                    stats.not_found += 1
-                    if passes_filter(NOT_FOUND, opt.pass_filter):
-                        builder.add(read, NOT_FOUND, -1, 0, 0)
+            def emit_filtered(read):
+                stats.not_found += 1
+                if passes_filter(NOT_FOUND, opt.pass_filter):
+                    builder.add(read, NOT_FOUND, -1, 0, 0)
+
+            def read_stage():
+                # runs on the reader thread: parse + clip + quality gates
+                for read in supplier:
+                    clip_read(read, opt.clipping)
+                    bad = (read.data_length < opt.min_read_length
+                           or count_ns(read) > maxk
+                           or not opt.quality_ok(read))
+                    yield bad, read
+
+            n_total = n_useful = 0
+            for bad, read in PrefetchIterator(read_stage()):
+                n_total += 1
+                if bad:
+                    writer.submit(emit_filtered, read)
                     continue
-                stats.useful_reads += 1
+                n_useful += 1
                 L = read.data_length
                 buckets[L].append(read)
                 if len(buckets[L]) >= opt.batch_size:
                     flush_bucket(L)
             for L in list(buckets):
                 flush_bucket(L)
-            while pending:
-                drain(*pending.pop(0))
+            writer.close()
+            stats.total_reads += n_total
+            stats.useful_reads += n_useful
             builder.flush(out)
             stats.align_time = time.time() - t0
         finally:

@@ -36,6 +36,7 @@ from ..models.paired import PairedAligner
 from ..models.paired_pipeline import PairedPipelineOptions
 from ..models.pipeline import PipelineOptions
 from ..models.single import SingleAligner
+from ..utils.async_stages import OrderedWorker, PrefetchIterator
 from ..utils.stats import AlignerStats
 from ..utils.tables import BASE_VALUE
 from .contamination import ContaminationFilter
@@ -129,6 +130,8 @@ class RnaSingleEndPipeline(_RnaBase):
             buckets = defaultdict(list)
             t0 = time.time()
 
+            writer = OrderedWorker(depth=4)
+
             def flush_bucket(L):
                 reads = buckets.pop(L, [])
                 if not reads:
@@ -138,6 +141,9 @@ class RnaSingleEndPipeline(_RnaBase):
                 codes_j, quals_j = jnp.asarray(batch.codes), jnp.asarray(batch.quals)
                 g_dev = self.g_aligner.align_batch_device(codes_j, quals_j)
                 t_dev = self.t_aligner.align_batch_device(codes_j, quals_j)
+                writer.submit(drain, reads, batch, g_dev, t_dev)
+
+            def drain(reads, batch, g_dev, t_dev):
                 g_res = {k: np.asarray(v) for k, v in g_dev.items()}
                 t_res = {k: np.asarray(v) for k, v in t_dev.items()}
                 c_res = None
@@ -181,21 +187,34 @@ class RnaSingleEndPipeline(_RnaBase):
                         stats.record_mapq(res.mapq, False)
                 builder.flush(out)
 
-            for read in open_read_supplier(fastq_path):
-                stats.total_reads += 1
-                clip_read(read, opt.clipping)
-                if (read.data_length < opt.min_read_length
-                        or count_ns(read) > maxk or not opt.quality_ok(read)):
-                    stats.not_found += 1
-                    if passes_filter(NOT_FOUND, opt.pass_filter):
-                        builder.add(read, NOT_FOUND, -1, 0, 0)
+            def emit_filtered(read):
+                stats.not_found += 1
+                if passes_filter(NOT_FOUND, opt.pass_filter):
+                    builder.add(read, NOT_FOUND, -1, 0, 0)
+
+            def read_stage():
+                for read in open_read_supplier(fastq_path):
+                    clip_read(read, opt.clipping)
+                    bad = (read.data_length < opt.min_read_length
+                           or count_ns(read) > maxk
+                           or not opt.quality_ok(read))
+                    yield bad, read
+
+            n_total = n_useful = 0
+            for bad, read in PrefetchIterator(read_stage()):
+                n_total += 1
+                if bad:
+                    writer.submit(emit_filtered, read)
                     continue
-                stats.useful_reads += 1
+                n_useful += 1
                 buckets[read.data_length].append(read)
                 if len(buckets[read.data_length]) >= opt.batch_size:
                     flush_bucket(read.data_length)
             for L in list(buckets):
                 flush_bucket(L)
+            writer.close()
+            stats.total_reads += n_total
+            stats.useful_reads += n_useful
             builder.flush(out)
             stats.align_time = time.time() - t0
         finally:
@@ -209,7 +228,7 @@ class RnaPairedEndPipeline(_RnaBase):
                  options: PairedPipelineOptions | None = None,
                  contamination_dir: str | None = None,
                  conf_diff: int = DEFAULT_CONF_DIFF,
-                 transcriptome_multi_hits: int = 64,
+                 transcriptome_multi_hits: int = 1000,
                  force_spacing: bool = False,
                  g_aligner=None, t_aligner=None, **aligner_overrides):
         super().__init__(genome_dir, transcriptome_dir, annotation,
@@ -220,14 +239,23 @@ class RnaPairedEndPipeline(_RnaBase):
         self.g_aligner = g_aligner or PairedAligner(
             self.genome_index, min_spacing=self.opt.min_spacing,
             max_spacing=self.opt.max_spacing, **aligner_overrides)
-        # transcriptome per-end aligner with multi-hit output; the reference
-        # uses maxHitsToGet=1000 (PairedAligner.cpp:584) — we default to a
-        # static 64-slot buffer (device shapes are fixed), configurable up
+        # transcriptome per-end aligner with multi-hit output at the
+        # reference's depth: maxHitsToGet=1000 (PairedAligner.cpp:584-614).
+        # Device shapes are static, so the candidate/compact budgets scale
+        # with the requested depth — paralog families with hundreds of
+        # near-identical transcripts keep every hit.  The cond tier ladder
+        # (models/single.py back_half) still sizes the actual kernels to
+        # the LIVE candidate count at runtime, so typical batches pay the
+        # small-tier cost and only paralog-dense batches take the wide
+        # fallback (bit-identical either way).
         t_over = dict(aligner_overrides)
         t_over.pop("max_hits_to_get", None)
+        mh = transcriptome_multi_hits
+        t_over.setdefault("cand_per_read", max(128, 2 * mh))
+        t_over.setdefault("compact_per_read", max(32, mh))
         self.t_aligner = t_aligner or SingleAligner(
             self.transcriptome_index,
-            max_hits_to_get=transcriptome_multi_hits, **t_over)
+            max_hits_to_get=mh, **t_over)
         self.c_aligner = (PairedAligner(self.contamination_index)
                           if self.contamination_index else None)
         if self.c_aligner:
@@ -266,6 +294,8 @@ class RnaPairedEndPipeline(_RnaBase):
             buckets = defaultdict(list)
             t0 = time.time()
 
+            writer = OrderedWorker(depth=4)
+
             def flush_bucket(L):
                 pairs = buckets.pop(L, [])
                 if not pairs:
@@ -279,6 +309,10 @@ class RnaPairedEndPipeline(_RnaBase):
                 t_dev1 = self.t_aligner.align_batch_device(c1, q1)
                 char_rows = (self._bchar.characterize(b0.codes),
                              self._bchar.characterize(b1.codes))
+                writer.submit(drain, pairs, b0, b1, g_dev, t_dev0, t_dev1,
+                              char_rows)
+
+            def drain(pairs, b0, b1, g_dev, t_dev0, t_dev1, char_rows):
                 g_res = {k: np.asarray(v) for k, v in g_dev.items()}
                 t_res0 = {k: np.asarray(v) for k, v in t_dev0.items()}
                 t_res1 = {k: np.asarray(v) for k, v in t_dev1.items()}
@@ -363,23 +397,33 @@ class RnaPairedEndPipeline(_RnaBase):
                         stats.aligned_as_pairs += 2
                 builder.flush(out)
 
-            for r0, r1 in open_paired_read_supplier(
-                    fq0, fq1, check_ids=not getattr(opt, 'ignore_mismatched_ids', False)):
-                stats.total_reads += 2
-                clip_read(r0, opt.clipping)
-                clip_read(r1, opt.clipping)
-                bad = any(r.data_length < opt.min_read_length
-                          or count_ns(r) > maxk or not opt.quality_ok(r)
-                          for r in (r0, r1))
+            def emit_filtered(r0, r1):
+                stats.not_found += 2
+                if passes_filter(NOT_FOUND, opt.pass_filter):
+                    builder.add(r0, NOT_FOUND, -1, 0, 0,
+                                mate=dict(result=NOT_FOUND, location=-1,
+                                          direction=0, read=r1, first=True))
+                    builder.add(r1, NOT_FOUND, -1, 0, 0,
+                                mate=dict(result=NOT_FOUND, location=-1,
+                                          direction=0, read=r0, first=False))
+
+            def read_stage():
+                for r0, r1 in open_paired_read_supplier(
+                        fq0, fq1,
+                        check_ids=not getattr(opt, 'ignore_mismatched_ids',
+                                              False)):
+                    clip_read(r0, opt.clipping)
+                    clip_read(r1, opt.clipping)
+                    bad = any(r.data_length < opt.min_read_length
+                              or count_ns(r) > maxk or not opt.quality_ok(r)
+                              for r in (r0, r1))
+                    yield bad, r0, r1
+
+            n_total = 0
+            for bad, r0, r1 in PrefetchIterator(read_stage()):
+                n_total += 2
                 if bad:
-                    stats.not_found += 2
-                    if passes_filter(NOT_FOUND, opt.pass_filter):
-                        builder.add(r0, NOT_FOUND, -1, 0, 0,
-                                    mate=dict(result=NOT_FOUND, location=-1,
-                                              direction=0, read=r1, first=True))
-                        builder.add(r1, NOT_FOUND, -1, 0, 0,
-                                    mate=dict(result=NOT_FOUND, location=-1,
-                                              direction=0, read=r0, first=False))
+                    writer.submit(emit_filtered, r0, r1)
                     continue
                 stats.useful_reads += 2
                 L = max(r0.data_length, r1.data_length)
@@ -388,6 +432,8 @@ class RnaPairedEndPipeline(_RnaBase):
                     flush_bucket(L)
             for L in list(buckets):
                 flush_bucket(L)
+            writer.close()
+            stats.total_reads += n_total
             builder.flush(out)
             stats.align_time = time.time() - t0
         finally:

@@ -92,8 +92,10 @@ def test_paired_interleaved_matching(tmp_path):
     p.write_bytes(sam)
     pairs = list(open_paired_read_supplier(str(p)))
     assert len(pairs) == 2
+    # reference order: (arriving read, stored mate)
+    # (PairedReadMatcher.cpp:148-188 sets read1=current, read2=matched)
     assert {(a.seq, b.seq) for a, b in pairs} == \
-        {(b"AAAA", b"GGGG"), (b"CCCC", b"TTTT")}
+        {(b"GGGG", b"AAAA"), (b"TTTT", b"CCCC")}
 
 
 def test_paired_interleaved_orphan_dropped(tmp_path, capfd):
@@ -106,8 +108,41 @@ def test_paired_interleaved_orphan_dropped(tmp_path, capfd):
     p.write_bytes(sam)
     pairs = list(open_paired_read_supplier(str(p)))
     assert len(pairs) == 1
-    assert pairs[0][0].seq == b"AAAA" and pairs[0][1].seq == b"GGGG"
-    assert "discarding 1 unpaired" in capfd.readouterr().err
+    assert pairs[0][0].seq == b"GGGG" and pairs[0][1].seq == b"AAAA"
+    assert "discarding 1+0 unpaired" in capfd.readouterr().err
+
+
+def test_paired_interleaved_coordinate_sorted(tmp_path):
+    """Mates separated by far more than the matcher window must still pair
+    (the reference's overflow-map spill, PairedReadMatcher.cpp:120-138) —
+    the coordinate-sorted-SAM-as-input regime where mates sit megabytes
+    apart."""
+    from snap_rnaseq_tpu.io import readers as rd
+    old = rd._MATCH_WINDOW
+    rd._MATCH_WINDOW = 8   # tiny window so the test exercises overflow
+    try:
+        n = 100
+        lines = []
+        # first mates at positions 1..n, second mates all at the far end —
+        # a coordinate-sorted layout with every pair split across the file
+        for i in range(n):
+            lines.append(b"p%d\t0\tchr1\t%d\t60\t4=\t*\t0\t0\tAAAA\tIIII\n"
+                         % (i, i + 1))
+        for i in range(n):
+            lines.append(b"p%d\t0\tchr1\t%d\t60\t4=\t*\t0\t0\tCCCC\tIIII\n"
+                         % (i, 100000 + i))
+        p = tmp_path / "coord.sam"
+        p.write_bytes(b"".join(lines))
+        st = rd.PairMatchStats()
+        pairs = list(rd._pair_interleaved(rd.open_read_supplier(str(p)), st))
+        assert len(pairs) == n
+        assert st.pairs_matched == n
+        assert st.orphans_dropped == 0
+        assert st.overflow_matched > 0   # the window really spilled
+        for a, b in pairs:
+            assert a.rid == b.rid and a.seq == b"CCCC" and b.seq == b"AAAA"
+    finally:
+        rd._MATCH_WINDOW = old
 
 
 def test_range_parse():

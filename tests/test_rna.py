@@ -201,9 +201,13 @@ def test_rna_paired_end(rna_dir, tmp_path):
     _write_fastq(tmp_path / "p0.fq", [(b"pair1", r0)])
     _write_fastq(tmp_path / "p1.fq", [(b"pair1", r1)])
     out = tmp_path / "rna_paired.sam"
+    # -tmh 32 bounds the multi-hit buffers for CI (default is the
+    # reference's 1000, PairedAligner.cpp:584 — same results whenever the
+    # actual hit count fits, as here)
     assert cli_main(["paired", str(d / "gidx"), str(d / "tidx"),
                      str(d / "anno.gtf"), str(tmp_path / "p0.fq"),
-                     str(tmp_path / "p1.fq"), "-o", str(out)]) == 0
+                     str(tmp_path / "p1.fq"), "-o", str(out),
+                     "-tmh", "32"]) == 0
     recs = _parse_sam(out)
     assert len(recs["pair1"]) == 2
     first = [r for r in recs["pair1"] if r["flag"] & 0x40][0]
@@ -260,3 +264,64 @@ def test_batch_characterizer_matches_host(tmp_path):
         fwd_h, rc_h = characterize_seeds(idx, reads[i])
         assert fwd_d == fwd_h, i
         assert rc_d == rc_h, i
+
+
+def test_rna_paired_paralog_multihit(tmp_path_factory):
+    """Paralog reconciliation through transcriptome multi-hit depth
+    (PairedAligner.cpp:584-614 maxHitsToGet): a fragment inside a region
+    shared by two near-identical transcripts of one gene must (1) produce
+    transcriptome hits in BOTH transcripts, (2) dedup to ONE genomic
+    alignment (AlignmentFilter.cpp:113-214 keyed by genome coords), and
+    (3) count fractionally 0.5/0.5 across the transcripts with one full
+    gene count (GTFTranscript::IncrementReadCount, GTFReader.cpp:1063)."""
+    import numpy as np
+    d = tmp_path_factory.mktemp("paralog")
+    rng = np.random.default_rng(77)
+    chr1 = decode_bases(rng.integers(0, 4, 6000, dtype=np.uint8))
+    with open(d / "ref.fa", "wb") as f:
+        f.write(b">chr1\n" + chr1 + b"\n")
+    # TA: exons 1001-1400, 2001-2200, 3001-3300; TB skips the middle exon
+    # and starts exon 1 ten bases earlier — NEAR-identical, not identical:
+    # exact duplicate exon coordinates dedup to the FIRST transcript's id
+    # in the feature index (reference map-insert no-op, GTFReader.cpp:1323)
+    # and would mask the fractional split this test asserts.
+    gtf = []
+    for tid, exons in (("TA", ((1001, 1400), (2001, 2200), (3001, 3300))),
+                       ("TB", ((991, 1400), (3001, 3300)))):
+        for s, e in exons:
+            gtf.append(f'chr1\ttest\texon\t{s}\t{e}\t.\t+\t.\t'
+                       f'gene_id "GP"; transcript_id "{tid}"; '
+                       f'gene_name "PARA";')
+    with open(d / "anno.gtf", "w") as f:
+        f.write("\n".join(gtf) + "\n")
+    assert cli_main(["index", str(d / "ref.fa"), str(d / "gidx")]) == 0
+    assert cli_main(["transcriptome", str(d / "anno.gtf"), str(d / "ref.fa"),
+                     str(d / "tidx")]) == 0
+
+    genome = read_fasta_genome(d / "ref.fa")
+    gtf_m = GTFReader.load(d / "anno.gtf")
+    tg = build_transcriptome_genome(gtf_m, genome)
+    ta = tg.codes[tg.offset_of_piece("TA"):tg.offset_of_piece("TA") + 900]
+    # both mates inside shared exon 1 (TA tpos == TB tpos there)
+    r0 = decode_bases(ta[10:110])
+    r1 = decode_bases(reverse_complement_codes(ta[250:350]))
+    _write_fastq(d / "p0.fq", [(b"frag", r0)])
+    _write_fastq(d / "p1.fq", [(b"frag", r1)])
+    out = d / "paralog.sam"
+    assert cli_main(["paired", str(d / "gidx"), str(d / "tidx"),
+                     str(d / "anno.gtf"), str(d / "p0.fq"), str(d / "p1.fq"),
+                     "-o", str(out), "-tmh", "64", "-bs", "64"]) == 0
+    recs = _parse_sam(out)
+    assert len(recs["frag"]) == 2           # exactly one alignment per mate
+    for r in recs["frag"]:
+        assert r["rname"] == "chr1"
+    first = [r for r in recs["frag"] if r["flag"] & 0x40][0]
+    assert first["pos"] == 1011             # genomic coords of exon-1 offset
+    counts = dict(l.split("\t") for l in
+                  open(str(d / "paralog") + ".transcript_id.counts.txt")
+                  .read().splitlines())
+    assert float(counts["TA"]) == 0.5 and float(counts["TB"]) == 0.5
+    gcounts = dict(l.split("\t") for l in
+                   open(str(d / "paralog") + ".gene_id.counts.txt")
+                   .read().splitlines())
+    assert float(gcounts["GP"]) == 1.0
