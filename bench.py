@@ -179,6 +179,7 @@ def main():
 
     _STATE["stage"] = "pe-compile"
     paired = PairedAligner(index)
+    _STATE["paired_aligner"] = paired   # reused by the e2e extra
     t = time.time()
     out = paired.align_batch_device(*pe_batches[0])
     jax.block_until_ready(out["pair_found"])
@@ -202,8 +203,20 @@ def main():
         rounds_completed=n // (2 * BATCH_PAIRS),
         fraction_pairs_found=round(float(pair_found.mean()), 4))
 
+    # End-to-end (file -> SAM) reads/s BEFORE printing: the reference's
+    # Reads/s includes I/O + record emission (AlignerContext.cpp:382-393),
+    # so the headline extra carries the same wall-clock metric for the
+    # async host pipeline.  Engine compile is already warm (same shapes).
+    e2e = None
+    if time.time() - T0 < DEADLINE_S - 90:
+        try:
+            e2e = _e2e_extra(index, pe_batches, paired)
+        except Exception as e:    # extra only — never fail the bench
+            print(f"bench: e2e extra failed: {e}", file=sys.stderr)
+
     # Headline is ready: print it NOW; everything after is best-effort.
-    _emit(pe_rps, vs=pe_rps / baseline)
+    _emit(pe_rps, vs=pe_rps / baseline,
+          **({"end_to_end_reads_per_sec": e2e} if e2e else {}))
 
     if time.time() - T0 < DEADLINE_S - 120:
         try:
@@ -212,6 +225,35 @@ def main():
             print(f"bench: SE extra failed: {e}", file=sys.stderr)
     sys.stderr.flush()
     os._exit(0)
+
+
+def _e2e_extra(index, pe_batches, paired):
+    """CLI-level throughput: FASTQ pair in -> SAM out through the async
+    host pipeline, reusing the already-jitted engine."""
+    import tempfile
+
+    import numpy as np
+    from snap_rnaseq_tpu.models.paired_pipeline import (PairedEndPipeline,
+                                                        PairedPipelineOptions)
+    from snap_rnaseq_tpu.utils.tables import decode_bases
+    _STATE["stage"] = "e2e-measure"
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/r1.fq", "wb") as f0, open(f"{td}/r2.fq", "wb") as f1:
+            for bi in range(len(pe_batches)):
+                r0, q0, r1, q1 = (np.asarray(x) for x in pe_batches[bi])
+                for i in range(r0.shape[0]):
+                    rid = b"@b%dp%d" % (bi, i)
+                    f0.write(rid + b"/1\n" + decode_bases(r0[i]) + b"\n+\n"
+                             + bytes(q0[i] + 33) + b"\n")
+                    f1.write(rid + b"/2\n" + decode_bases(r1[i]) + b"\n+\n"
+                             + bytes(q1[i] + 33) + b"\n")
+        pipe = PairedEndPipeline(
+            index, options=PairedPipelineOptions(batch_size=BATCH_PAIRS))
+        pipe.aligner = _STATE.get("paired_aligner") or pipe.aligner
+        t0 = time.time()
+        stats = pipe.run(f"{td}/r1.fq", f"{td}/r2.fq", f"{td}/out.sam")
+        dt = time.time() - t0
+        return round(stats.total_reads / dt, 1)
 
 
 def _se_extra(index, pe_batches, baseline):

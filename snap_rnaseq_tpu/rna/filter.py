@@ -142,7 +142,14 @@ class AlignmentFilter:
                         pos=pos, pos_end=pos_end, pos_original=pos_original,
                         transcript_id=transcript_id, gene_id=gene_id,
                         is_transcriptome=is_transcriptome)
-        key = (rname, pos)
+        self.add_prepared(aln, end)
+
+    def add_prepared(self, aln: Alignment, end: int) -> None:
+        """Dedup fold of AddAlignment for a pre-converted Alignment (the
+        batch path precomputes coordinates via rna/t2g.py and skips the
+        per-hit walks); keeps the better score, transcriptome preferred on
+        ties — insertion-order semantics identical to add_alignment."""
+        key = (aln.rname, aln.pos)
         cur = self.maps[end].get(key)
         if cur is None or aln.score < cur.score or \
                 (aln.score == cur.score and aln.is_transcriptome):

@@ -40,7 +40,7 @@ from ..utils.async_stages import OrderedWorker, PrefetchIterator
 from ..utils.stats import AlignerStats
 from ..utils.tables import BASE_VALUE
 from .contamination import ContaminationFilter
-from .filter import (MULTIPLE_HITS, SINGLE_HIT, AlignmentFilter,
+from .filter import (MULTIPLE_HITS, SINGLE_HIT, Alignment, AlignmentFilter,
                      BatchCharacterizer, characterize_seeds)
 from .gtf import GTFReader
 from .splice import insert_splice_junctions
@@ -77,6 +77,17 @@ class _RnaBase:
         self.gtf.write_read_counts(prefix)
         if self.c_filter is not None:
             self.c_filter.write(prefix)
+
+    def _coord_map(self):
+        """Lazy transcriptome->genome coordinate tensors (rna/t2g.py):
+        built once per run, turns per-hit exon walks into array gathers."""
+        m = getattr(self, "_t2g", None)
+        if m is None:
+            from .t2g import TranscriptomeCoordMap
+            m = TranscriptomeCoordMap(self.gtf,
+                                      self.transcriptome_index.genome)
+            self._t2g = m
+        return m
 
     def _characterizer_for(self, codes_list):
         """Per-pair seed characterizer over the genome index (the reference's
@@ -147,20 +158,51 @@ class RnaSingleEndPipeline(_RnaBase):
                 g_res = {k: np.asarray(v) for k, v in g_dev.items()}
                 t_res = {k: np.asarray(v) for k, v in t_dev.items()}
                 c_res = None
+                nb = len(reads)
+                # batch-convert both hit streams up front (rna/t2g.py) —
+                # see the paired drain for the semantics notes
+                cmap = self._coord_map()
+                rl = np.array([r.data_length for r in reads], np.int64)
+                tloc = t_res["loc"][:nb].astype(np.int64)
+                tconv = cmap.convert(tloc, rl)
+                tscore = t_res["score"][:nb]
+                tok = tconv["valid"] & (tscore >= 0) & (tscore <= maxk)
+                poffs = np.asarray(genome.piece_offsets)
+                gloc = g_res["loc"][:nb].astype(np.int64)
+                gscore = g_res["score"][:nb]
+                gok = (gloc >= 0) & (gloc < genome.num_bases) & \
+                    (gscore >= 0) & (gscore <= maxk)
+                gpidx = np.searchsorted(poffs, np.where(gok, gloc, 0),
+                                        side="right") - 1
+                gpos = gloc - poffs[gpidx] + 1
                 for i, r in enumerate(reads):
                     filt = AlignmentFilter(
                         genome, self.transcriptome_index.genome, self.gtf,
                         0, 0, self.conf_diff, maxk,
                         self.genome_index.seed_len,
                         read_lens=(r.data_length, 0), read_ids=(r.rid, b""))
-                    filt.add_alignment(
-                        int(t_res["loc"][i]), int(t_res["direction"][i]),
-                        int(t_res["score"][i]), int(t_res["mapq"][i]),
-                        True, 0)
-                    filt.add_alignment(
-                        int(g_res["loc"][i]), int(g_res["direction"][i]),
-                        int(g_res["score"][i]), int(g_res["mapq"][i]),
-                        False, 0)
+                    if tok[i]:
+                        t = cmap.pieces[tconv["piece_no"][i]]
+                        filt.add_prepared(Alignment(
+                            location=int(tloc[i]),
+                            direction=int(t_res["direction"][i]),
+                            score=int(tscore[i]), mapq=int(t_res["mapq"][i]),
+                            rname=cmap.chr_names[tconv["chr_no"][i]],
+                            pos=int(tconv["pos"][i]),
+                            pos_end=int(tconv["pos_end"][i]),
+                            pos_original=int(tconv["pos_original"][i]),
+                            transcript_id=t.transcript_id, gene_id=t.gene_id,
+                            is_transcriptome=True), 0)
+                    if gok[i]:
+                        pos = int(gpos[i])
+                        filt.add_prepared(Alignment(
+                            location=int(gloc[i]),
+                            direction=int(g_res["direction"][i]),
+                            score=int(gscore[i]), mapq=int(g_res["mapq"][i]),
+                            rname=genome.piece_names[gpidx[i]], pos=pos,
+                            pos_end=pos + r.data_length - 1,
+                            pos_original=pos, transcript_id="", gene_id="",
+                            is_transcriptome=False), 0)
                     res = filt.filter_single()
                     if res.status == NOT_FOUND and self.c_aligner is not None:
                         if c_res is None:
@@ -317,6 +359,40 @@ class RnaPairedEndPipeline(_RnaBase):
                 t_res0 = {k: np.asarray(v) for k, v in t_dev0.items()}
                 t_res1 = {k: np.asarray(v) for k, v in t_dev1.items()}
                 c_res = None
+                nb = len(pairs)
+                # ---- batch-convert ALL hits up front (rna/t2g.py): the
+                # per-hit exon walks / piece bisects become array gathers;
+                # the per-pair loop below only folds prepared Alignments
+                # into the dedup maps (same insertion order: t-hits then
+                # genome, so tie semantics are unchanged) ----
+                cmap = self._coord_map()
+                prep = []
+                for e, tr in ((0, t_res0), (1, t_res1)):
+                    rl = np.array([p[e].data_length for p in pairs],
+                                  np.int64)
+                    mh_loc = tr["mh_loc"][:nb].astype(np.int64)
+                    K = mh_loc.shape[1]
+                    conv = cmap.convert(mh_loc, rl[:, None])
+                    score = tr["mh_score"][:nb]
+                    ok = (conv["valid"]
+                          & (np.arange(K)[None, :] < tr["mh_n"][:nb, None])
+                          & (score >= 0) & (score <= maxk))
+                    prep.append((conv, ok, score, tr["mh_dir"][:nb], mh_loc))
+                # genome paired results: piece bisect for the whole batch
+                g_prep = []
+                poffs = np.asarray(genome.piece_offsets)
+                for e in (0, 1):
+                    loc = g_res[f"loc{e}"][:nb].astype(np.int64)
+                    score = g_res[f"score{e}"][:nb]
+                    okg = (loc >= 0) & (loc < genome.num_bases) & \
+                        (score >= 0) & (score <= maxk)
+                    pidx = np.searchsorted(poffs, np.where(okg, loc, 0),
+                                           side="right") - 1
+                    gpos = loc - poffs[pidx] + 1
+                    g_prep.append((okg, pidx, gpos, loc, score))
+                pieces = cmap.pieces
+                chr_names = cmap.chr_names
+                gpiece_names = genome.piece_names
                 for i, (r0, r1) in enumerate(pairs):
                     filt = AlignmentFilter(
                         genome, self.transcriptome_index.genome, self.gtf,
@@ -328,20 +404,36 @@ class RnaPairedEndPipeline(_RnaBase):
                             lambda e, _i=i: char_rows[e](_i)))
                     # transcriptome multi-hits per end (mapq 0, like the
                     # reference's multi-hit AddAlignment calls)
-                    for e, tr in ((0, t_res0), (1, t_res1)):
-                        n = int(tr["mh_n"][i])
-                        for j in range(n):
-                            filt.add_alignment(
-                                int(tr["mh_loc"][i, j]),
-                                int(tr["mh_dir"][i, j]),
-                                int(tr["mh_score"][i, j]), 0, True, e)
+                    for e in (0, 1):
+                        conv, okm, score, mdir, mh_loc = prep[e]
+                        for j in np.nonzero(okm[i])[0]:
+                            t = pieces[conv["piece_no"][i, j]]
+                            filt.add_prepared(Alignment(
+                                location=int(mh_loc[i, j]),
+                                direction=int(mdir[i, j]),
+                                score=int(score[i, j]), mapq=0,
+                                rname=chr_names[conv["chr_no"][i, j]],
+                                pos=int(conv["pos"][i, j]),
+                                pos_end=int(conv["pos_end"][i, j]),
+                                pos_original=int(conv["pos_original"][i, j]),
+                                transcript_id=t.transcript_id,
+                                gene_id=t.gene_id,
+                                is_transcriptome=True), e)
                     # genome paired results
                     for e in (0, 1):
-                        filt.add_alignment(
-                            int(g_res[f"loc{e}"][i]),
-                            int(g_res[f"dir{e}"][i]),
-                            int(g_res[f"score{e}"][i]),
-                            int(g_res[f"mapq{e}"][i]), False, e)
+                        okg, pidx, gpos, loc, score = g_prep[e]
+                        if not okg[i]:
+                            continue
+                        pos = int(gpos[i])
+                        filt.add_prepared(Alignment(
+                            location=int(loc[i]),
+                            direction=int(g_res[f"dir{e}"][i]),
+                            score=int(score[i]),
+                            mapq=int(g_res[f"mapq{e}"][i]),
+                            rname=gpiece_names[pidx[i]], pos=pos,
+                            pos_end=pos + (r0, r1)[e].data_length - 1,
+                            pos_original=pos, transcript_id="", gene_id="",
+                            is_transcriptome=False), e)
                     pres = filt.filter_paired()
                     e0, e1 = pres.ends
 

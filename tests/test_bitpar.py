@@ -76,6 +76,7 @@ def test_pack_peq():
         assert peq[0, b, 0] == want0 and peq[0, b, 1] == want1
 
 
+@pytest.mark.slow
 def test_bitpar_pallas_interpret_parity():
     # tiny shapes: interpreter mode executes the column loop serially
     from snap_rnaseq_tpu.ops.bitpar import bitpar_distance_pallas

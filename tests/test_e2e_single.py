@@ -37,6 +37,7 @@ def _parse_sam(path):
     return recs
 
 
+@pytest.mark.slow
 def test_single_end_records(workdir):
     d = workdir
     g = read_fasta_genome(d / "ref.fa")

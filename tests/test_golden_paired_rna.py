@@ -10,6 +10,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 GOLDEN_PAIRED = os.path.join(GOLDEN_DIR, "paired_100bp.sam")
@@ -132,6 +133,7 @@ def _run(tmp):
     return _strip_pg(paired_out), _strip_pg(rna_out)
 
 
+@pytest.mark.slow
 def test_golden_paired_and_rna(tmp_path):
     got_paired, got_rna = _run(str(tmp_path))
     for path, got in ((GOLDEN_PAIRED, got_paired), (GOLDEN_RNA, got_rna)):

@@ -63,6 +63,7 @@ def test_cuckoo_matches_probe_lookup(repeat_genome_index):
     assert np.asarray(f1).sum() > 100  # the comparison is not vacuous
 
 
+@pytest.mark.slow
 def test_cuckoo_align_end_to_end_identical(repeat_genome_index, monkeypatch):
     from snap_rnaseq_tpu.models.single import SingleAligner
     genome, index = repeat_genome_index

@@ -67,6 +67,7 @@ def test_paired_range_split_consistent(mh_fixture):
         assert len(seen) == N_PAIRS
 
 
+@pytest.mark.slow
 def test_multihost_matches_single_host(mh_fixture):
     d = mh_fixture
     from snap_rnaseq_tpu.models.paired_pipeline import (PairedEndPipeline,

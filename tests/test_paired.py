@@ -33,6 +33,7 @@ def sim():
     return idx, g, r0, r1, q, starts, FRAG, L
 
 
+@pytest.mark.slow
 def test_paired_alignment(sim):
     idx, g, r0, r1, q, starts, FRAG, L = sim
     al = PairedAligner(idx, cand_per_read=64, max_seed_slots=32)
@@ -53,6 +54,7 @@ def test_paired_alignment(sim):
     assert (out["mapq0"][out["pair_found"]] >= 10).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_chimeric_fallback(sim):
     """Ends mapping outside the spacing window still align via fallback."""
     idx, g, r0, r1, q, starts, FRAG, L = sim
@@ -66,6 +68,7 @@ def test_chimeric_fallback(sim):
         assert abs(int(out["loc0"][i]) - (starts[i] + base)) <= 2
 
 
+@pytest.mark.slow
 def test_paired_pipeline_sam(tmp_path, sim):
     idx, g, r0, r1, q, starts, FRAG, L = sim
     from snap_rnaseq_tpu.index.genome import write_fasta
@@ -144,7 +147,11 @@ def test_paired_inputs_variants(tmp_path, sim):
     base = positions(out0)
     assert len(base) == 2 * B
 
-    # interleaved single file: mates adjacent, paired by qname
+    # interleaved single file: mates adjacent, paired by qname.  The
+    # matcher returns (arriving read, stored mate) like the reference
+    # (PairedReadMatcher.cpp:148-188), so /2 becomes read0 (flag 0x40) and
+    # — via the ReadWriter.cpp:158 truncation typo — QNAMEs KEEP their
+    # /1 /2 suffixes.  Same positions/strands per physical read.
     with open(tmp_path / "inter.fq", "wb") as f:
         for i in range(B):
             f.write(rec(b"p%d/1" % i, r0[i]))
@@ -152,7 +159,17 @@ def test_paired_inputs_variants(tmp_path, sim):
     out1 = tmp_path / "inter.sam"
     assert cli_main(["paired", str(idx_dir), str(tmp_path / "inter.fq"),
                      "-o", str(out1)]) == 0
-    assert positions(out1) == base
+    inter = {}
+    for l in open(out1):
+        if l.startswith("@"):
+            continue
+        f = l.split("\t")
+        qid, suff = f[0].rsplit("/", 1)
+        inter[(qid, suff)] = (f[2], f[3], int(f[1]) & 0x10)
+    assert len(inter) == 2 * B
+    for i in range(B):
+        for suff, flagbit in (("1", 0x40), ("2", 0x80)):
+            assert inter[("p%d" % i, suff)] == base[("p%d" % i, flagbit)]
 
     # multiple r1/r2 pairs chained on the command line
     half = B // 2
@@ -190,6 +207,7 @@ def test_paired_inputs_variants(tmp_path, sim):
     assert positions(out4) == base
 
 
+@pytest.mark.slow
 def test_paired_seed_budget_counts_positions_not_directions(sim):
     """The paired aligner budgets ONE lookup per seed position
     (IntersectingPairedEndAligner.cpp:266), not per (seed, direction) like

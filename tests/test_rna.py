@@ -136,6 +136,7 @@ def _parse_sam(path):
     return recs
 
 
+@pytest.mark.slow
 def test_rna_single_end(rna_dir, tmp_path):
     d = rna_dir
     genome = read_fasta_genome(d / "ref.fa")
@@ -184,6 +185,7 @@ def test_rna_single_end(rna_dir, tmp_path):
     assert os.path.exists(prefix + ".read_intervals.txt")
 
 
+@pytest.mark.slow
 def test_rna_paired_end(rna_dir, tmp_path):
     d = rna_dir
     genome = read_fasta_genome(d / "ref.fa")
@@ -266,6 +268,7 @@ def test_batch_characterizer_matches_host(tmp_path):
         assert rc_d == rc_h, i
 
 
+@pytest.mark.slow
 def test_rna_paired_paralog_multihit(tmp_path_factory):
     """Paralog reconciliation through transcriptome multi-hit depth
     (PairedAligner.cpp:584-614 maxHitsToGet): a fragment inside a region

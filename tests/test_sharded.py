@@ -13,6 +13,10 @@ from snap_rnaseq_tpu.parallel.sharded import ShardedSingleAligner
 from snap_rnaseq_tpu.utils.tables import reverse_complement_codes
 
 
+
+# full-mesh e2e comparisons are minutes-scale on the CI host
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def setup():
     rng = np.random.default_rng(5)

@@ -99,6 +99,7 @@ def test_write_roundtrip(oracle, tmp_path):
     assert np.array_equal(ha, hb) and np.array_equal(ra, rb)
 
 
+@pytest.mark.slow
 def test_rna_pipeline_on_reference_indices_matches_reference_sam(
         oracle, tmp_path):
     """Align the fixture reads through our CLI using the reference-format
@@ -182,6 +183,7 @@ def test_mutated_reads_position_parity(oracle, tmp_path):
     assert agree == total, (total - agree, bad[:5])
 
 
+@pytest.mark.slow
 def test_wgsim_pairs_position_and_mapq_parity(oracle, tmp_path):
     """SNP-dense wgsim-named pairs (1.5% SNP): positions AND MAPQ values
     must match the reference binary record-for-record.  This is the case

@@ -90,6 +90,7 @@ def matrixdir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_datatest_matrix(matrixdir):
     d = matrixdir
     # fq -> {sam, bam}
