@@ -411,6 +411,27 @@ def _split_runs(argv):
     return runs
 
 
+def cmd_trace(argv):
+    """Per-read trace (the _DumpAlignments analog, BaseAligner.cpp:622-631):
+    snap-rna-tpu trace <index-dir> <ACGT-read> [<phred33-quals>]"""
+    p = argparse.ArgumentParser(prog="snap-rna-tpu trace")
+    p.add_argument("index_dir")
+    p.add_argument("read", help="read as an ACGT string")
+    p.add_argument("quals", nargs="?", default=None,
+                   help="phred+33 quality string (default all 'I')")
+    a = p.parse_args(argv)
+    import numpy as np
+
+    from .models.single import SingleAligner
+    from .models.trace import trace_read
+    from .utils.tables import encode_bases
+    codes = encode_bases(a.read.strip().upper().encode())
+    quals = np.frombuffer((a.quals or "I" * len(a.read)).encode(), np.uint8)
+    aligner = SingleAligner(_load_index_cached(a.index_dir))
+    print(trace_read(aligner, codes, quals))
+    return 0
+
+
 def main(argv=None):
     from .utils.jax_setup import enable_compilation_cache
     enable_compilation_cache()
@@ -425,7 +446,8 @@ def main(argv=None):
         cmd, rest = run[0], run[1:]
         try:
             handler = {"index": cmd_index, "transcriptome": cmd_transcriptome,
-                       "single": cmd_single, "paired": cmd_paired}[cmd]
+                       "single": cmd_single, "paired": cmd_paired,
+                       "trace": cmd_trace}[cmd]
         except KeyError:
             print(f"unknown subcommand {cmd!r}", file=sys.stderr)
             return 2

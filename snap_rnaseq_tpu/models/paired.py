@@ -55,6 +55,7 @@ class PairedAlignerConfig:
     force_spacing: bool = False
     score_budget_per_read: int = 16
     compact_per_read: int = 32
+    overflow_tier: bool = True
 
     @property
     def e_max(self) -> int:
@@ -70,17 +71,26 @@ class PairedAlignerConfig:
             max_seed_slots=self.max_seed_slots,
             score_budget_per_read=self.score_budget_per_read,
             compact_per_read=self.compact_per_read,
+            overflow_tier=self.overflow_tier,
             seed_budget_per_position=True)
 
 
 def _dense_per_read(u, sc, in_prob_flags, B, K):
-    """Scatter the flat, read-sorted candidate arrays into (B, K) dense."""
+    """Scatter the flat, read-sorted candidate arrays into (B, K) dense.
+
+    Only SCORED candidates are densified (unscored rows are dead in the
+    pair join anyway), and the K-cap ranks among scored rows — so a wide
+    overflow tier carrying hundreds of unscored repeat candidates per read
+    can never push a true scored hit past the cap."""
     C = u["read"].shape[0]
     r = u["read"]
-    first = jax.ops.segment_min(jnp.arange(C, dtype=jnp.int32), r,
-                                num_segments=B)
-    rank = jnp.arange(C, dtype=jnp.int32) - first[r]
-    keep = u["live"] & (rank < K)
+    sel = u["live"] & sc["scored_ok"]
+    ones = sel.astype(jnp.int32)
+    cum = jnp.cumsum(ones) - ones                    # exclusive prefix count
+    first = jax.ops.segment_min(jnp.where(sel, cum, jnp.int32(0x7FFFFFF0)),
+                                r, num_segments=B)
+    rank = cum - first[r]
+    keep = sel & (rank < K)
     tr = jnp.where(keep, r, B)
     tc = jnp.where(keep, rank, 0)
 
@@ -178,22 +188,24 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
                               genome_size, sched_static, cuckoo)
         cg = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
         budget = sg.budget_phase(seeds["valid"], cg, wraps, ecfg)
-        cands = sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
-                                seed_len, read_len, ecfg.cand_per_read)
-        u_full = sg.aggregate_phase(cands)
-
-        def back_half(u_full, compact_per_read):
+        def back_half(u_full, compact_per_read, score_scale=1):
             """Same tier-ladder as the single engine's _align_batch: all
             post-aggregation phases scale with the compact width, results
-            are bit-identical whenever the live candidates fit the tier."""
+            are bit-identical whenever the live candidates fit the tier;
+            score_scale widens the pooled scoring budgets in the wide
+            expand tier (see single.back_half)."""
             tcfg = ecfg if compact_per_read == ecfg.compact_per_read else \
                 sg.SingleAlignerConfig(**{**ecfg.__dict__,
                                           "compact_per_read":
                                           compact_per_read})
+            s_cfg = ecfg if score_scale == 1 else sg.SingleAlignerConfig(
+                **{**ecfg.__dict__,
+                   "score_budget_per_read": ecfg.score_budget_per_read
+                   * score_scale})
             u, _ = sg.compact_phase(u_full, B, tcfg)
             if ecfg.score_budget_per_read > 0:
                 sc = sg.filtered_score_phase(u, reads, quals, genome_p4,
-                                             piece_starts, ecfg, seed_len,
+                                             piece_starts, s_cfg, seed_len,
                                              read_len, genome_size, B)
             else:
                 sc = sg.score_phase(u, reads, quals, genome_p4, piece_starts,
@@ -208,32 +220,56 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
                         score_overflow=sc.get("score_overflow",
                                               jnp.int32(0)))
 
-        if ecfg.compact_per_read > 0:
-            small = max(4, ecfg.compact_per_read // 4)
-            if small < ecfg.compact_per_read:
-                eo = jax.lax.cond(
-                    u_full["live"].sum() <= B * small,
-                    lambda uu: back_half(uu, small),
-                    lambda uu: back_half(uu, ecfg.compact_per_read),
-                    u_full)
+        def from_cands(cands, compact_big, score_scale=1):
+            u_full = sg.aggregate_phase(cands)
+            if compact_big > 0:
+                small = max(4, compact_big // 4)
+                if small < compact_big:
+                    eo = jax.lax.cond(
+                        u_full["live"].sum() <= B * small,
+                        lambda uu: back_half(uu, small, score_scale),
+                        lambda uu: back_half(uu, compact_big, score_scale),
+                        u_full)
+                else:
+                    eo = back_half(u_full, compact_big, score_scale)
             else:
-                eo = back_half(u_full, ecfg.compact_per_read)
+                sc = sg.score_phase(u_full, reads, quals, genome_p4,
+                                    piece_starts, ecfg, seed_len, read_len,
+                                    genome_size)
+                single_out = sg.replay_phase(u_full, sc, budget, reads, B,
+                                             S, ecfg)
+                eo = dict(dense=_dense_per_read(u_full, sc, sc["scored_ok"],
+                                                B, ecfg.cand_per_read),
+                          single=single_out,
+                          n_scored=sc["scored_ok"].sum(),
+                          score_overflow=jnp.int32(0))
+            # residual truncation of the tier that actually ran
+            eo["truncated"] = cands["truncated"]
+            eo["n_candidates"] = cands["live"].sum()
+            return eo
+
+        cands = sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
+                                seed_len, read_len, ecfg.cand_per_read)
+        if (ecfg.overflow_tier and ecfg.cand_per_read > 0
+                and ecfg.compact_per_read > 0):
+            # candidate-overflow exact fallback (see single._align_batch):
+            # 4x re-expand when the narrow tier truncated any hit list
+            eo = jax.lax.cond(
+                cands["truncated"].sum() > 0,
+                lambda c: from_cands(
+                    sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
+                                    seed_len, read_len,
+                                    4 * ecfg.cand_per_read),
+                    4 * ecfg.compact_per_read, score_scale=4),
+                lambda c: from_cands(c, ecfg.compact_per_read),
+                cands)
         else:
-            sc = sg.score_phase(u_full, reads, quals, genome_p4,
-                                piece_starts, ecfg, seed_len, read_len,
-                                genome_size)
-            single_out = sg.replay_phase(u_full, sc, budget, reads, B, S,
-                                         ecfg)
-            eo = dict(dense=_dense_per_read(u_full, sc, sc["scored_ok"], B,
-                                            ecfg.cand_per_read),
-                      single=single_out,
-                      n_scored=sc["scored_ok"].sum(),
-                      score_overflow=jnp.int32(0))
+            eo = from_cands(cands, ecfg.compact_per_read)
         ends.append(dict(dense=eo["dense"], single=eo["single"],
                          popular=eo["single"]["popular"],
-                         truncated=cands["truncated"],
+                         truncated=eo["truncated"],
                          n_lookups=seeds["found"].sum(),
-                         n_candidates=cands["live"].sum(),
+                         n_candidates=eo["n_candidates"],
                          n_scored=eo["n_scored"],
                          score_overflow=eo["score_overflow"]))
 

@@ -166,22 +166,31 @@ class PairedEndPipeline:
                                           direction=0, read=r0, first=False))
 
             def read_stage():
-                # runs on the reader thread: parse + clip + quality gates
+                # runs on the reader thread: parse + clip + quality gates.
+                # The pair is skipped only when BOTH ends are useless or the
+                # quality gate fails — one hopeless end still goes through
+                # ("maybe we can align the other", PairedAligner.cpp:558-575).
+                # The reference's quality gate is literally
+                # (!quality0 || !quality0): read1's quality is never
+                # consulted (typo reproduced for oracle parity).
                 for r0, r1 in pair_iter:
                     clip_read(r0, opt.clipping)
                     clip_read(r1, opt.clipping)
-                    bad = any(r.data_length < opt.min_read_length
-                              or count_ns(r) > maxk or not opt.quality_ok(r)
-                              for r in (r0, r1))
-                    yield bad, r0, r1
+                    useful0 = (r0.data_length >= opt.min_read_length
+                               and count_ns(r0) <= maxk)
+                    useful1 = (r1.data_length >= opt.min_read_length
+                               and count_ns(r1) <= maxk)
+                    bad = ((not useful0 and not useful1)
+                           or not opt.quality_ok(r0))
+                    yield bad, useful0 and useful1, r0, r1
 
             n_total = n_useful = 0
-            for bad, r0, r1 in PrefetchIterator(read_stage()):
+            for bad, both_useful, r0, r1 in PrefetchIterator(read_stage()):
                 n_total += 2
                 if bad:
                     writer.submit(emit_filtered, r0, r1)
                     continue
-                n_useful += 2
+                n_useful += 2 if both_useful else 1
                 if r0.data_length != r1.data_length:
                     # rare mixed-length pair: bucket by the max, N-padding
                     L = max(r0.data_length, r1.data_length)

@@ -64,6 +64,9 @@ class SingleAlignerConfig:
     max_hits: int = SINGLE_DEFAULTS["max_hits"]         # -h: popularity cutoff
     extra_search_depth: int = DEFAULT_EXTRA_SEARCH_DEPTH
     cand_per_read: int = 128                            # static candidate slots
+    # exact cond-fallback: re-expand at 4x when the narrow candidate tier
+    # truncates (repeat-dense batches); False = fixed narrow width
+    overflow_tier: bool = True
     max_seed_slots: int = 48                            # schedule positions looked up
     max_hits_to_get: int = 0                            # multi-hit output size
     seed_coverage: float = 0.0      # -sc: num_seeds = cov*readLen/seedLen
@@ -690,24 +693,26 @@ def _align_batch(reads, quals,
                        sched_static, cuckoo)
     counts_global = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
     budget = budget_phase(seeds["valid"], counts_global, wraps, cfg)
-    cands = expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
-                         read_len, cfg.cand_per_read)
-    u = aggregate_phase(cands)
-
-    def back_half(u_full, compact_per_read):
+    def back_half(u_full, compact_per_read, score_scale=1):
         """compact -> score -> replay at a given compact width.  A tier
         ladder below cond-selects the narrowest width the live candidates
         fit in: every phase after compaction scales with the width, and the
         result is bit-identical across tiers whenever the live count fits
-        (the extra rows of a wider tier are dead)."""
+        (the extra rows of a wider tier are dead).  score_scale multiplies
+        the pooled scoring budgets in the WIDE expand tier so the extra
+        candidates it carries don't displace true hits from scoring."""
         tier_cfg = cfg if compact_per_read == cfg.compact_per_read else \
             SingleAlignerConfig(**{**cfg.__dict__,
                                    "compact_per_read": compact_per_read})
+        s_cfg = cfg if score_scale == 1 else SingleAlignerConfig(
+            **{**cfg.__dict__,
+               "score_budget_per_read": cfg.score_budget_per_read
+               * score_scale})
         uu, compact_overflow = compact_phase(u_full, B, tier_cfg)
         if cfg.score_budget_per_read > 0:
             sc = filtered_score_phase(uu, reads, quals, genome_p4,
-                                      piece_starts, cfg, seed_len, read_len,
-                                      genome_size, B)
+                                      piece_starts, s_cfg, seed_len,
+                                      read_len, genome_size, B)
         else:
             sc = score_phase(uu, reads, quals, genome_p4, piece_starts, cfg,
                              seed_len, read_len, genome_size)
@@ -719,30 +724,54 @@ def _align_batch(reads, quals,
         out["n_bucket2"] = sc.get("n_bucket2", jnp.int32(0))
         return out
 
-    if cfg.compact_per_read > 0:
-        n_live = u["live"].sum()
-        small = max(4, cfg.compact_per_read // 4)
-        if small < cfg.compact_per_read:
-            out = jax.lax.cond(
-                n_live <= B * small,
-                lambda uu: back_half(uu, small),
-                lambda uu: back_half(uu, cfg.compact_per_read),
-                u)
+    def from_cands(cands, compact_big, score_scale=1):
+        """aggregate + the compact tier ladder for one expand width."""
+        u = aggregate_phase(cands)
+        if compact_big > 0:
+            n_live = u["live"].sum()
+            small = max(4, compact_big // 4)
+            if small < compact_big:
+                out = jax.lax.cond(
+                    n_live <= B * small,
+                    lambda uu: back_half(uu, small, score_scale),
+                    lambda uu: back_half(uu, compact_big, score_scale),
+                    u)
+            else:
+                out = back_half(u, compact_big, score_scale)
         else:
-            out = back_half(u, cfg.compact_per_read)
-    else:
-        sc = score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
-                         seed_len, read_len, genome_size)
-        out = replay_phase(u, sc, budget, reads, B, S, cfg)
-        out["score_overflow"] = jnp.int32(0)
-        out["n_unique_candidates"] = u["live"].sum()
-        out["n_scored"] = sc["scored_ok"].sum()
-        out["n_bucket2"] = jnp.int32(0)
-    out["truncated"] = cands["truncated"]
-    # per-phase device counters (BaseAligner.h:113-118 analog)
-    out["n_lookups"] = seeds["found"].sum()
-    out["n_candidates"] = cands["live"].sum()
-    return out
+            sc = score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
+                             seed_len, read_len, genome_size)
+            out = replay_phase(u, sc, budget, reads, B, S, cfg)
+            out["score_overflow"] = jnp.int32(0)
+            out["n_unique_candidates"] = u["live"].sum()
+            out["n_scored"] = sc["scored_ok"].sum()
+            out["n_bucket2"] = jnp.int32(0)
+        out["truncated"] = cands["truncated"]
+        # per-phase device counters (BaseAligner.h:113-118 analog)
+        out["n_lookups"] = seeds["found"].sum()
+        out["n_candidates"] = cands["live"].sum()
+        return out
+
+    cands = expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
+                         read_len, cfg.cand_per_read)
+    if not (cfg.overflow_tier and cfg.cand_per_read > 0
+            and cfg.compact_per_read > 0):
+        return from_cands(cands, cfg.compact_per_read)
+    # Candidate-overflow exact fallback: if the narrow expand truncated ANY
+    # read's hit list (repeat-dense regime — the silent-accuracy-loss spot
+    # flagged against IntersectingPairedEndAligner.h:33's 1e6-candidate
+    # pool), re-expand at 4x width and run the wide pipeline.  When the
+    # narrow tier did NOT truncate, its result is bit-identical to the wide
+    # tier's (extra rows are dead), so this cond preserves exact wide
+    # semantics at narrow typical-batch cost.
+    return jax.lax.cond(
+        cands["truncated"].sum() > 0,
+        lambda c: from_cands(
+            expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
+                         read_len, 4 * cfg.cand_per_read),
+            4 * cfg.compact_per_read, score_scale=4),
+        lambda c: from_cands(c, cfg.compact_per_read),
+        cands)
 
 
 class SingleAligner:

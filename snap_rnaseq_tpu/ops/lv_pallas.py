@@ -343,12 +343,217 @@ def lv_distance_pallas_core(pattern, p_len, textp, t_len, k, qual_logp, *,
 # transposes everything: diagonals ride the sublane axis, CANDIDATES ride
 # the lane axis (like ops/bitpar.py), so every vector op advances a full
 # lane tile.  Tables are not emitted — the CIGAR path keeps the row layout.
+#
+# Two implementations share the wrapper:
+#   * "bits" (default): per-diagonal mismatch positions BIT-PACKED into
+#     W = ceil(P/32) int32 words per (diagonal, candidate) — the reference
+#     kernel's 8-bytes-per-cycle u64 XOR + ctz idea (LandauVishkin.h:
+#     268-287) recast for the VPU.  Diagonal extension = masked
+#     find-first-set over W words (a handful of (D, C) ops) instead of a
+#     one-hot max-reduction over the (D, P, C) next-mismatch tensor; the
+#     suffix-min build pass disappears entirely.  Inner-loop data shrinks
+#     from (D, P, C) i32 to (D, W, C) i32 — 25x at P=100.
+#   * "onehot": the original formulation, kept for A/B timing and as a
+#     fallback (SNAP_TPU_LV_LANES=onehot).
 # ---------------------------------------------------------------------------
 
 def lv_lanes_tile(e_max: int) -> int:
     """Lane-tile size bounded by the (D, P, C) int32 temporaries in VMEM."""
     D = 2 * e_max + 1
     return 128 if D > 16 else 512
+
+
+def _lv_kernel_lanes_bits(prio_ref, pattern_ref, p_len_ref, text_ref,
+                          t_len_ref, k_ref, qlp_ref, free_ref, dist_ref,
+                          e_fin_ref, d_fin_ref, logp_ref, net_ref, bits_ref,
+                          *, e_max: int, P: int, cigar_order: bool):
+    D = 2 * e_max + 1
+    W = (P + 31) // 32
+    C = dist_ref.shape[1]
+
+    pattern = pattern_ref[...]                        # (P, C) i32
+    p_len = p_len_ref[...]                            # (1, C) i32
+    t_len = t_len_ref[...]
+    k = jnp.minimum(k_ref[...], e_max)
+    textp = text_ref[...]                             # (TXT, C) i32
+    qual_logp = qlp_ref[...]                          # (P, C) f32
+    free = free_ref[...]                              # (1, C) i32
+    TXT = textp.shape[0]
+
+    tpos = jax.lax.broadcasted_iota(jnp.int32, (TXT, C), 0) - e_max
+    textp = jnp.where(tpos < t_len, textp, jnp.int32(255))
+
+    # Pack each diagonal's MISMATCH indicator into W int32 words along the
+    # pattern axis (distinct powers of two, so the sum is an exact OR; bit
+    # 31 wraps to INT_MIN, a valid bit pattern).  Positions below the free
+    # prefix match unconditionally.
+    pos2 = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+    bit_iota = jax.lax.broadcasted_iota(jnp.int32, (32, C), 0)
+    bitval = jnp.left_shift(jnp.int32(1), bit_iota)   # (32, C)
+    for d in range(D):
+        tsl = pltpu.roll(textp, (TXT - d) % TXT, 0)[:P, :]
+        mm = ((tsl != pattern) & (pos2 >= free)).astype(jnp.int32)
+        for w in range(W):
+            lo = w * 32
+            hi = min(lo + 32, P)
+            bits_ref[d, w, :] = jnp.sum(mm[lo:hi, :] * bitval[:hi - lo, :],
+                                        axis=0)
+    bits = bits_ref[...]                              # (D, W, C) i32
+
+    bit3 = jax.lax.broadcasted_iota(jnp.int32, (D, 32, C), 1)
+
+    def next_mm(best):
+        """Smallest mismatch position >= clip(best, 0) per (d, cand), or P.
+
+        Word selection is a W-step descending where-cascade (earliest
+        eligible word wins); in-word find-first-set decodes ONE selected
+        word per (d, cand) via a 32-wide bit expansion (arithmetic right
+        shift keeps bit values for every index, and `& 1` kills the sign
+        smear)."""
+        gb = jnp.clip(best, 0, P - 1)
+        w_idx = jnp.right_shift(gb, 5)
+        r = gb & 31
+        mask_ge = jnp.left_shift(jnp.int32(-1), r)    # bits >= r
+        res_word = jnp.zeros((D, C), jnp.int32)
+        res_j = jnp.full((D, C), W, jnp.int32)
+        for j in range(W - 1, -1, -1):
+            wj = bits[:, j, :]
+            elig = jnp.where(w_idx == j, wj & mask_ge,
+                             jnp.where(w_idx < j, wj, 0))
+            nz = elig != 0
+            res_word = jnp.where(nz, elig, res_word)
+            res_j = jnp.where(nz, jnp.int32(j), res_j)
+        bx = jnp.right_shift(res_word[:, None, :], bit3) & 1  # (D, 32, C)
+        pos_in = jnp.min(jnp.where(bx != 0, bit3, jnp.int32(32)), axis=1)
+        return jnp.where(res_j < W, res_j * 32 + pos_in, jnp.int32(P))
+
+    pos_dc = jax.lax.broadcasted_iota(jnp.int32, (D, C), 0)
+    d_vals = pos_dc - e_max
+    end_d = jnp.minimum(jnp.broadcast_to(p_len, (D, C)), t_len - d_vals)
+
+    def extend(best):
+        ext = jnp.where(best >= P, best, next_mm(best))
+        ext = jnp.minimum(ext, end_d)
+        return jnp.maximum(best, jnp.where(best >= 0, ext, best))
+
+    end0 = jnp.minimum(p_len, t_len)                  # (1, C)
+    diag0 = jax.lax.broadcasted_iota(jnp.int32, (D, C), 0)
+    q0 = next_mm(jnp.zeros((D, C), jnp.int32))
+    first_mm = jnp.sum(jnp.where(diag0 == e_max, q0, 0), axis=0,
+                       keepdims=True)
+    first_mm = jnp.minimum(first_mm, end0)
+    L = jnp.where(d_vals == 0, jnp.broadcast_to(first_mm, (D, C)),
+                  jnp.int32(-2))
+
+    perfect = first_mm >= end0                        # (1, C)
+    perfect_dist = jnp.maximum(p_len - end0, 0)
+    perfect_ok = perfect & (perfect_dist <= k)
+
+    done = perfect
+    dist = jnp.where(perfect_ok, perfect_dist, -1)
+    e_fin = jnp.zeros((1, C), jnp.int32)
+    d_fin = jnp.zeros((1, C), jnp.int32)
+
+    prio = prio_ref[...]                              # (D, 1)
+    abs_d = jnp.abs(d_vals)
+
+    Ls = [L]
+    As = [jnp.zeros((D, C), jnp.int32)]
+    for e in range(1, e_max + 1):
+        up = L + 1
+        left = jnp.where(diag0 == 0, jnp.int32(-2), pltpu.roll(L, 1, 0))
+        right = jnp.where(diag0 == D - 1, jnp.int32(-1),
+                          pltpu.roll(L, D - 1, 0) + 1)
+        best = up
+        act = jnp.full((D, C), ACT_X, jnp.int32)
+        better_l = left > best
+        best = jnp.where(better_l, left, best)
+        act = jnp.where(better_l, ACT_D, act)
+        better_r = right > best
+        best = jnp.where(better_r, right, best)
+        act = jnp.where(better_r, ACT_I, act)
+
+        in_band = abs_d <= e
+        best = extend(best)
+        best = jnp.where(in_band, best, -2)
+
+        hit = in_band & (best >= p_len) & jnp.broadcast_to(e <= k, (D, C))
+        any_hit = hit.any(axis=0, keepdims=True) & ~done
+        rank = jnp.where(hit, jnp.broadcast_to(prio, (D, C)),
+                         jnp.int32(2 * e_max + 2))
+        win = jnp.min(rank * D + diag0, axis=0, keepdims=True) % D
+
+        new_done = done | any_hit | (e >= k)
+        dist = jnp.where(any_hit, e, dist)
+        e_fin = jnp.where(any_hit, e, e_fin)
+        d_fin = jnp.where(any_hit, win - e_max, d_fin)
+
+        L = jnp.where(done, L, best)
+        done = new_done
+        Ls.append(L)
+        As.append(act)
+
+    # fused probability backtrace, lanes layout (identical to the onehot
+    # kernel from here down)
+    def gather_diag(X, idx):
+        sel = diag0 == jnp.clip(idx + e_max, 0, D - 1)
+        return jnp.sum(jnp.where(sel, X, 0), axis=0, keepdims=True)
+
+    cur_d = d_fin
+    acts_bt = [None] * (e_max + 1)
+    matched_bt = [None] * (e_max + 1)
+    for e in range(e_max, 0, -1):
+        active = (e <= e_fin) & (e_fin > 0)
+        act = gather_diag(As[e], cur_d)
+        L_here = gather_diag(Ls[e], cur_d)
+        m_I = L_here - gather_diag(Ls[e - 1], cur_d + 1) - 1
+        m_D = L_here - gather_diag(Ls[e - 1], cur_d - 1)
+        m_X = L_here - gather_diag(Ls[e - 1], cur_d) - 1
+        matched = jnp.where(act == ACT_I, m_I,
+                            jnp.where(act == ACT_D, m_D, m_X))
+        new_d = cur_d + jnp.where(act == ACT_I, 1,
+                                  jnp.where(act == ACT_D, -1, 0))
+        cur_d = jnp.where(active, new_d, cur_d)
+        acts_bt[e] = jnp.where(active, act, -1)
+        matched_bt[e] = jnp.where(active, matched, 0)
+
+    qmax = jnp.maximum(p_len - 1, 0)
+    piota = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0)
+    offset = gather_diag(Ls[0], jnp.zeros((1, C), jnp.int32))
+    logp = jnp.zeros((1, C), jnp.float32)
+    net = jnp.zeros((1, C), jnp.int32)
+    prev_act = jnp.full((1, C), -1, jnp.int32)
+    run_open = jnp.zeros((1, C), jnp.int32)
+    for e in range(1, e_max + 1):
+        act = acts_bt[e]
+        m = matched_bt[e]
+        active = (e <= e_fin) & (e_fin > 0)
+        cont = (run_open == 1) & (act == prev_act)
+        is_indel = (act == ACT_I) | (act == ACT_D)
+        indel_log = jnp.where(cont, LOG_GAP_EXTEND, LOG_GAP_OPEN)
+        diff = jnp.abs(piota - jnp.clip(offset, 0, qmax))
+        onehot_f = (1 - jnp.minimum(diff, 1)).astype(jnp.float32)
+        q_at = jnp.sum(qual_logp * onehot_f, axis=0, keepdims=True)
+        add = jnp.where(is_indel, indel_log, q_at)
+        logp = jnp.where(active, logp + add, logp)
+        delta = jnp.where(act == ACT_I, 1, jnp.where(act == ACT_D, -1, 1))
+        offset = jnp.where(active, offset + delta, offset)
+        net = jnp.where(active & (act == ACT_I), net + 1,
+                        jnp.where(active & (act == ACT_D), net - 1, net))
+        offset = jnp.where(active, offset + m, offset)
+        run_open = jnp.where(active, (m == 0).astype(jnp.int32), run_open)
+        prev_act = jnp.where(active, act, prev_act)
+
+    logp = logp + (p_len - e_fin - free).astype(jnp.float32) * \
+        LOG_ONE_MINUS_SNP
+    logp = jnp.where(dist >= 0, logp, NEG_INF)
+    net = jnp.where(perfect, 0, net)
+
+    dist_ref[...] = dist
+    e_fin_ref[...] = e_fin
+    d_fin_ref[...] = d_fin
+    logp_ref[...] = logp
+    net_ref[...] = net
 
 
 def _lv_kernel_lanes(prio_ref, pattern_ref, p_len_ref, text_ref, t_len_ref,
@@ -516,19 +721,27 @@ def _lv_kernel_lanes(prio_ref, pattern_ref, p_len_ref, text_ref, t_len_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("e_max", "cigar_order", "interpret"))
+                   static_argnames=("e_max", "cigar_order", "interpret",
+                                    "impl"))
 def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp,
                              free=None, *,
                              e_max: int, cigar_order: bool = False,
-                             interpret: bool = False):
+                             interpret: bool = False, impl: str = None):
     """Lanes-layout core: returns (dist, e_fin, d_fin, logp, net).
 
     Same contract as lv_distance_pallas_core minus the L/A tables; inputs
     are the untransposed (B, ...) arrays — transposition happens here.
+    impl: "bits" (default, bit-packed mismatch masks) or "onehot" (the
+    original (D, P, C) next-mismatch formulation); overridable via
+    SNAP_TPU_LV_LANES.
     """
+    if impl is None:
+        import os
+        impl = os.environ.get("SNAP_TPU_LV_LANES", "bits")
     B, P = pattern.shape
     TXT = textp.shape[1]
     D = 2 * e_max + 1
+    W = (P + 31) // 32
     C = lv_lanes_tile(e_max)
     if free is None:
         free = jnp.zeros_like(p_len)
@@ -545,7 +758,10 @@ def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp,
     grid = (Bp // C,)
 
     prio = jnp.asarray(_d_order(e_max, cigar_order))[:, None]    # (D, 1)
-    kernel = functools.partial(_lv_kernel_lanes, e_max=e_max, P=P,
+    kfn = _lv_kernel_lanes_bits if impl == "bits" else _lv_kernel_lanes
+    scratch = (pltpu.VMEM((D, W, C), jnp.int32) if impl == "bits"
+               else pltpu.VMEM((D, P, C), jnp.int32))
+    kernel = functools.partial(kfn, e_max=e_max, P=P,
                                cigar_order=cigar_order)
     row = lambda: pl.BlockSpec((1, C), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
@@ -565,7 +781,7 @@ def lv_distance_pallas_lanes(pattern, p_len, textp, t_len, k, qual_logp,
             row(),
         ],
         out_specs=(row(), row(), row(), row(), row()),
-        scratch_shapes=[pltpu.VMEM((D, P, C), jnp.int32)],
+        scratch_shapes=[scratch],
         out_shape=out_shape,
         interpret=interpret,
     )(prio, pattern.astype(jnp.int32).T, p_len[None, :].astype(jnp.int32),

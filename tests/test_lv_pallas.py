@@ -111,3 +111,44 @@ def test_lanes_kernel_parity():
     np.testing.assert_array_equal(np.asarray(net), np.asarray(ref.net_indel))
     np.testing.assert_allclose(np.asarray(logp), np.asarray(ref.log_prob),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_lanes_bits_vs_onehot_parity():
+    """The bit-packed extension (impl="bits", default) is bit-identical to
+    the original one-hot formulation, including the free-prefix path used
+    by the engine's seed-split scoring."""
+    from snap_rnaseq_tpu.ops.lv_pallas import lv_distance_pallas_lanes
+    import jax.numpy as _j
+    rng = np.random.default_rng(5)
+    for e_max, P in ((3, 40), (7, 100)):
+        B = 24
+        TXT = 2 * e_max + P + 4
+        pat = rng.integers(0, 4, (B, P)).astype(np.uint8)
+        txt = np.full((B, TXT), 255, np.uint8)
+        plen = np.zeros(B, np.int32)
+        tl = np.zeros(B, np.int32)
+        kk = np.zeros(B, np.int32)
+        fr = np.zeros(B, np.int32)
+        for i in range(B):
+            plen[i] = rng.integers(P // 2, P + 1)
+            t = pat[i, :plen[i]].copy()
+            for _ in range(rng.integers(0, e_max + 2)):
+                op, p = rng.integers(0, 3), rng.integers(0, len(t))
+                if op == 0:
+                    t[p] = (t[p] + 1) % 4
+                elif op == 1:
+                    t = np.delete(t, p)
+                else:
+                    t = np.insert(t, p, rng.integers(0, 4))
+            tl[i] = len(t)
+            txt[i, e_max:e_max + len(t)] = t
+            kk[i] = rng.integers(1, e_max + 1)
+            fr[i] = rng.integers(0, P // 3)
+        qlp = np.log(np.full((B, P), 0.001, np.float32))
+        args = tuple(map(_j.asarray, (pat, plen, txt, tl, kk, qlp, fr)))
+        a = lv_distance_pallas_lanes(*args, e_max=e_max, interpret=True,
+                                     impl="onehot")
+        b = lv_distance_pallas_lanes(*args, e_max=e_max, interpret=True,
+                                     impl="bits")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -232,3 +232,38 @@ def test_paired_seed_budget_counts_positions_not_directions(sim):
     out = pa.align_batch(r0[None], q, r1[None], q)
     assert bool(out["pair_found"][0])
     assert int(out["loc0"][0]) == s
+
+
+@pytest.mark.slow
+def test_half_useless_pair_still_aligns(tmp_path, sim):
+    """A pair with one hopeless end (all Ns) is NOT skipped: the reference
+    proceeds when at least one end is useful ("maybe we can align the
+    other", PairedAligner.cpp:558-575) and its quality gate literally
+    tests (!quality0 || !quality0) — read1's quality never matters."""
+    idx, g, r0, r1, q, starts, FRAG, L = sim
+    from snap_rnaseq_tpu.cli import main as cli_main
+
+    idx_dir = tmp_path / "idx"
+    idx.save(str(idx_dir))
+    with open(tmp_path / "r1.fq", "wb") as f0, \
+            open(tmp_path / "r2.fq", "wb") as f1:
+        f0.write(b"@h0\n" + decode_bases(r0[0]) + b"\n+\n" + b"I" * L + b"\n")
+        f1.write(b"@h0\n" + b"N" * L + b"\n+\n" + b"I" * L + b"\n")
+        # both ends useless -> the pair IS skipped, both emitted unaligned
+        f0.write(b"@h1\n" + b"N" * L + b"\n+\n" + b"I" * L + b"\n")
+        f1.write(b"@h1\n" + b"N" * L + b"\n+\n" + b"I" * L + b"\n")
+    assert cli_main(["paired", str(idx_dir), str(tmp_path / "r1.fq"),
+                     str(tmp_path / "r2.fq"),
+                     "-o", str(tmp_path / "out.sam")]) == 0
+    recs = {}
+    for line in open(tmp_path / "out.sam", "rb"):
+        if line.startswith(b"@"):
+            continue
+        f = line.decode().split("\t")
+        recs.setdefault(f[0], []).append(f)
+    h0 = {int(f[1]) & 0x40: f for f in recs["h0"]}
+    first, second = h0[0x40], h0[0]
+    assert not int(first[1]) & 0x4          # alignable end aligned
+    assert int(first[1]) & 0x8              # mate unmapped
+    assert int(second[1]) & 0x4             # N end unaligned
+    assert all(int(f[1]) & 0x4 for f in recs["h1"])
