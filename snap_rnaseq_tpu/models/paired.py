@@ -55,7 +55,7 @@ class PairedAlignerConfig:
     force_spacing: bool = False
     score_budget_per_read: int = 16
     compact_per_read: int = 32
-    overflow_tier: bool = True
+    overflow_tier: bool = False
 
     @property
     def e_max(self) -> int:
@@ -105,6 +105,9 @@ def _dense_per_read(u, sc, in_prob_flags, B, K):
         logp=scat(jnp.where(sc["scored_ok"], sc["logp"], NEG_INF), NEG_INF),
         live=scat(sc["scored_ok"].astype(jnp.int32), 0).astype(bool),
         in_prob=scat(in_prob_flags.astype(jnp.int32), 0).astype(bool),
+        # scored candidates the K-cap dropped from the pair join (flood
+        # reads with > K scored locations) — observable, never silent
+        overflow=(sel & ~keep).sum(),
     )
 
 
@@ -271,7 +274,8 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
                          n_lookups=seeds["found"].sum(),
                          n_candidates=eo["n_candidates"],
                          n_scored=eo["n_scored"],
-                         score_overflow=eo["score_overflow"]))
+                         score_overflow=eo["score_overflow"],
+                         dense_overflow=eo["dense"]["overflow"]))
 
     pr = pair_phase(ends[0]["dense"], ends[1]["dense"], cfg,
                     ends[0]["popular"], ends[1]["popular"])
@@ -303,7 +307,8 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
         out[f"truncated{e}"] = ends[e]["truncated"]
         # per-end device counters (BaseAligner.h:113-118 analog), consumed
         # by the pipeline's perf log (models/paired_pipeline.py drain())
-        for c in ("n_lookups", "n_candidates", "n_scored", "score_overflow"):
+        for c in ("n_lookups", "n_candidates", "n_scored",
+                  "score_overflow", "dense_overflow"):
             out[f"{c}{e}"] = ends[e][c]
     return out
 

@@ -66,7 +66,7 @@ class SingleAlignerConfig:
     cand_per_read: int = 128                            # static candidate slots
     # exact cond-fallback: re-expand at 4x when the narrow candidate tier
     # truncates (repeat-dense batches); False = fixed narrow width
-    overflow_tier: bool = True
+    overflow_tier: bool = False
     max_seed_slots: int = 48                            # schedule positions looked up
     max_hits_to_get: int = 0                            # multi-hit output size
     seed_coverage: float = 0.0      # -sc: num_seeds = cov*readLen/seedLen
@@ -193,16 +193,31 @@ def expand_phase(seeds, budget, schedule, overflow, cfg, seed_len, read_len,
     if cfg.explore_popular:
         used = jnp.minimum(used, cfg.max_hits)
     used2 = used.reshape(B, S * 2)
-    cum = jnp.cumsum(used2, axis=1)
+    # RARE-SEED-FIRST slot filling: each read's candidate budget is filled
+    # from its least-popular (seed, dir) groups upward, so when the budget
+    # truncates (repeat floods: a satellite read can carry 10^3..10^5 raw
+    # hits under the paired 16000-hit cutoff) the dropped candidates are
+    # exactly the flood-seed tails — the ones the reference scores LAST and
+    # mostly skips via its evolving score limit
+    # (IntersectingPairedEndAligner.cpp:514-741 best-possible-score order +
+    # early termination).  With no truncation the candidate SET is
+    # unchanged, and downstream grouping is order-invariant (aggregate
+    # re-sorts by (dir, loc)), so results are bit-identical.
+    gi = jnp.broadcast_to(jnp.arange(S * 2, dtype=jnp.int32)[None, :],
+                          (B, S * 2))
+    used_sorted, perm = jax.lax.sort((used2, gi), dimension=1, num_keys=1,
+                                     is_stable=True)
+    cum = jnp.cumsum(used_sorted, axis=1)
     total = cum[:, -1]
     slots = jnp.arange(CPR, dtype=jnp.int32)
-    group = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
-    group = jnp.minimum(group, S * 2 - 1).astype(jnp.int32)
+    spos = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
+    spos = jnp.minimum(spos, S * 2 - 1).astype(jnp.int32)
+    group = jnp.take_along_axis(perm, spos, axis=1)   # original group ids
     cand_live = slots[None, :] < jnp.minimum(total, CPR)[:, None]
     n_truncated = jnp.maximum(total - CPR, 0)
 
     prev_cum = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1)
-    within = slots[None, :] - jnp.take_along_axis(prev_cum, group, axis=1)
+    within = slots[None, :] - jnp.take_along_axis(prev_cum, spos, axis=1)
 
     s_idx = group // 2
     dir_idx = group % 2

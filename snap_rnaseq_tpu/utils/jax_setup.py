@@ -22,10 +22,19 @@ def enable_compilation_cache(path: str | None = None) -> None:
     # in processes that perform many hundreds of fresh compiles (observed in
     # full-suite runs with the cache off; round 1 ran crash-free with it
     # on), so cache hits keep the per-process compile count low.
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        backend = "unknown"
+    # jax.default_backend() INITIALIZES the backend — with the axon TPU
+    # plugin registered and its tunnel down, that call hangs indefinitely
+    # (the round-2 driver-bench rc=124 failure mode).  When a platform is
+    # already forced (env var or jax.config), trust it instead of probing.
+    forced = (os.environ.get("JAX_PLATFORMS", "")
+              or (jax.config.jax_platforms or ""))
+    if forced:
+        backend = forced.split(",")[0]
+    else:
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "unknown"
     path = os.path.join(path, backend)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

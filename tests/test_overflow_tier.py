@@ -35,8 +35,8 @@ def test_overflow_tier_bounds_truncation_paired(dense_sim):
     idx, r0, q0, r1, q1, p0 = dense_sim
     args = (jnp.asarray(r0), jnp.asarray(q0),
             jnp.asarray(r1), jnp.asarray(q1))
-    wide = PairedAligner(idx).align_batch(*args)
-    narrow = PairedAligner(idx, overflow_tier=False).align_batch(*args)
+    wide = PairedAligner(idx, overflow_tier=True).align_batch(*args)
+    narrow = PairedAligner(idx).align_batch(*args)
 
     tw = int((wide["truncated0"] > 0).sum())
     tn = int((narrow["truncated0"] > 0).sum())
@@ -52,14 +52,35 @@ def test_overflow_tier_bounds_truncation_paired(dense_sim):
         return sum(abs(int(out["loc0"][i]) - (int(p0[i]) + pad)) <= 2
                    for i in range(B))
 
-    # accuracy with the fallback is at least the narrow tier's
-    assert n_exact(wide) >= n_exact(narrow)
-    assert int(wide["pair_found"].sum()) >= int(narrow["pair_found"].sum())
+    # accuracy with the fallback is at least the narrow tier's (+-1: the
+    # wide tier removes EXPAND truncation, but the pooled downstream caps
+    # — compact width, score budget, dense-join K — can bind differently
+    # at the two widths on flood batches, so strict superset behavior is
+    # not guaranteed by construction)
+    assert n_exact(wide) >= n_exact(narrow) - 1
+    assert int(wide["pair_found"].sum()) >= \
+        int(narrow["pair_found"].sum()) - max(1, B // 100)
 
 
 @pytest.mark.slow
 def test_overflow_tier_single(dense_sim):
     idx, r0, q0, r1, q1, p0 = dense_sim
-    out = SingleAligner(idx).align_batch(jnp.asarray(r0), jnp.asarray(q0))
+    out = SingleAligner(idx, overflow_tier=True).align_batch(
+        jnp.asarray(r0), jnp.asarray(q0))
     assert int((out["truncated"] > 0).sum()) <= 0.05 * B
     assert int((out["result"] > 0).sum()) >= 0.98 * B
+
+
+@pytest.mark.slow
+def test_rare_seed_first_truncation_keeps_true_hit(dense_sim):
+    """With the budget filled rarest-seed-first, truncating reads still keep
+    the true location (supported by their informative seeds); only flood-
+    seed tails drop.  Narrow default vs the exact overflow tier must agree
+    on virtually every position despite heavy truncation."""
+    idx, r0, q0, r1, q1, p0 = dense_sim
+    args = (jnp.asarray(r0), jnp.asarray(q0))
+    narrow = SingleAligner(idx).align_batch(*args)
+    wide = SingleAligner(idx, overflow_tier=True).align_batch(*args)
+    found = (narrow["result"] > 0) & (wide["result"] > 0)
+    agree = (narrow["loc"] == wide["loc"]) & found
+    assert agree.sum() >= 0.99 * found.sum()

@@ -91,14 +91,16 @@ def main():
         "host": "1-core CPU (this bench host)",
     }
     log(json.dumps(summary))
-
-    t2 = time.time()
-    idx.save(OUT)
-    log(f"saved to {OUT} in {time.time() - t2:.0f}s")
-    summary["save_s"] = round(time.time() - t2, 1)
     with open(os.path.join(HERE, "HG_SCALE.json"), "w") as f:
         json.dump(summary, f, indent=1)
     log("HG_SCALE.json written")
+
+    t2 = time.time()
+    idx.save(OUT)
+    summary["save_s"] = round(time.time() - t2, 1)
+    with open(os.path.join(HERE, "HG_SCALE.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    log(f"saved to {OUT} in {time.time() - t2:.0f}s")
 
 
 if __name__ == "__main__":
