@@ -509,13 +509,18 @@ def _grouped_tables(sk, cl, num_bases, ovf_base):
 
 
 def _insert_all(ht_keys, ht_val1, ht_val2, shard_starts, shard_sizes,
-                shard_of_key, keys_u32, val1, val2, verbose=False):
+                shard_of_key, keys_u32, val1, val2, verbose=False,
+                claim_base=0, claim_size=None):
     """Vectorized multi-round open-addressing insertion.
 
     Every round, each still-pending key proposes its current probe slot; the
     first pending key per free slot wins (resolved with np.unique); everyone
     else advances one probe step (quadratic for the first 5, then linear),
     exactly the probe sequence of SNAPHashTable::Lookup so lookups terminate.
+
+    claim_base/claim_size bound the slot-claim scratch to the slot range the
+    call can touch (used by the per-shard driver below; defaults cover the
+    whole table).
     """
     n = keys_u32.shape[0]
     sizes = shard_sizes[shard_of_key]
@@ -529,17 +534,19 @@ def _insert_all(ht_keys, ht_val1, ht_val2, shard_starts, shard_sizes,
     # pending id win per slot (numpy fancy assignment keeps the last
     # write), reproducing the old np.unique first-occurrence winner —
     # layouts stay bit-identical — at O(candidates) instead of a sort.
-    claim = np.empty(int(shard_starts[-1]) if len(shard_starts) else 0,
-                     dtype=np.int64)
+    if claim_size is None:
+        claim_size = int(shard_starts[-1]) if len(shard_starts) else 0
+    claim = np.empty(claim_size, dtype=np.int64)
     round_no = 0
     while pending.size:
         slots = (base[pending] + idx[pending])
         free = ht_val1[slots] == _EMPTY
         free_pos = np.nonzero(free)[0]
         cand = pending[free_pos]
-        cand_slots = slots[free_pos]
+        cand_slots = slots[free_pos] - claim_base
         claim[cand_slots[::-1]] = cand[::-1]
         won = claim[cand_slots] == cand
+        cand_slots = cand_slots + claim_base
         winners = cand[won]
         win_slots = cand_slots[won]
         ht_keys[win_slots] = keys_u32[winners]
@@ -558,6 +565,32 @@ def _insert_all(ht_keys, ht_val1, ht_val2, shard_starts, shard_sizes,
             print(f"  insert round {round_no}: {pending.size} pending")
         if round_no > 10000:
             raise RuntimeError("hash insertion failed to converge")
+
+
+def _insert_all_sharded(ht_keys, ht_val1, ht_val2, shard_starts, shard_sizes,
+                        shard_of_key, keys_u32, val1, val2, verbose=False):
+    """Per-shard _insert_all driver for genome-scale builds.
+
+    shard_of_key must be non-decreasing (the chunked build emits shards in
+    order).  Produces a BIT-IDENTICAL table to one global _insert_all call
+    — shards never share slots, so per-slot winner resolution is unchanged
+    — with O(largest shard) scratch instead of O(total keys + total slots)
+    int64 temporaries (the global formulation needs ~100GB at hg19 scale
+    and was OOM-killed on the 3.2Gb proof build)."""
+    n_shards = len(shard_sizes)
+    bounds = np.searchsorted(shard_of_key, np.arange(n_shards + 1))
+    for s in range(n_shards):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        if hi <= lo:
+            continue
+        _insert_all(ht_keys, ht_val1, ht_val2, shard_starts, shard_sizes,
+                    shard_of_key[lo:hi], keys_u32[lo:hi],
+                    val1[lo:hi], val2[lo:hi], verbose=False,
+                    claim_base=int(shard_starts[s]),
+                    claim_size=int(shard_sizes[s]))
+        if verbose and s % 32 == 0:
+            print(f"  insert shard {s}/{n_shards}: {hi - lo:,} keys",
+                  flush=True)
 
 
 def _ovf_shard_bounds(multi_keys, multi_entry_starts, overflow_len, n_shards):
@@ -680,8 +713,13 @@ def build_index_chunked(genome: Genome, seed_len: int,
             if verbose and s % 32 == 0:
                 print(f"  shard {s}/{n_shards}: {ck.size:,} seeds")
 
-    cat = lambda lst, dt: (np.concatenate(lst) if lst
-                           else np.zeros(0, dt))
+    def cat(lst, dt):
+        # concatenate then FREE the parts immediately — at hg19 scale the
+        # parts + results together are ~90GB and were part of the OOM
+        out = np.concatenate(lst) if lst else np.zeros(0, dt)
+        lst.clear()
+        return out
+
     distinct_keys = cat(keys_l, np.uint64)
     val1 = cat(v1_l, np.uint32)
     val2 = cat(v2_l, np.uint32)
@@ -692,7 +730,7 @@ def build_index_chunked(genome: Genome, seed_len: int,
     if genome.num_bases + overflow_len > 0xFFFFFFF0:
         raise ValueError("overflow table too large; use a longer seed")
 
-    shard_of_key = (distinct_keys >> np.uint64(32)).astype(np.int64)
+    shard_of_key = (distinct_keys >> np.uint64(32)).astype(np.int32)
     keys_per_shard = np.bincount(shard_of_key, minlength=n_shards)
     shard_sizes = np.maximum(
         2, np.ceil(keys_per_shard / load_factor).astype(np.int64) + 1)
@@ -703,10 +741,11 @@ def build_index_chunked(genome: Genome, seed_len: int,
     ht_keys = np.zeros(total_slots, dtype=np.uint32)
     ht_val1 = np.full(total_slots, _EMPTY, dtype=np.uint32)
     ht_val2 = np.zeros(total_slots, dtype=np.uint32)
-    _insert_all(ht_keys, ht_val1, ht_val2,
-                shard_starts, shard_sizes, shard_of_key,
-                (distinct_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-                val1, val2, verbose=verbose)
+    keys_u32 = (distinct_keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    del distinct_keys
+    _insert_all_sharded(ht_keys, ht_val1, ht_val2,
+                        shard_starts, shard_sizes, shard_of_key,
+                        keys_u32, val1, val2, verbose=verbose)
 
     shard_ovf_starts = _ovf_shard_bounds(multi_keys, multi_entry_starts,
                                          overflow_len, n_shards)

@@ -358,7 +358,14 @@ def lv_distance_pallas_core(pattern, p_len, textp, t_len, k, qual_logp, *,
 # ---------------------------------------------------------------------------
 
 def lv_lanes_tile(e_max: int) -> int:
-    """Lane-tile size bounded by the (D, P, C) int32 temporaries in VMEM."""
+    """Lane-tile size bounded by the (D, P, C) int32 temporaries in VMEM.
+
+    SNAP_TPU_LV_TILE overrides for A/B tuning; the bits impl's working set
+    is (D, W, C) — ~P/32 of the onehot impl's — so larger tiles fit."""
+    import os
+    env = os.environ.get("SNAP_TPU_LV_TILE")
+    if env:
+        return int(env)
     D = 2 * e_max + 1
     return 128 if D > 16 else 512
 
