@@ -30,9 +30,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import (DEFAULT_EXTRA_SEARCH_DEPTH, MAX_K,
+from ..constants import (DEFAULT_EXTRA_SEARCH_DEPTH, MAX_K, MAX_MERGE_DIST,
                          MAPQ_LIMIT_FOR_SINGLE_HIT, PAIRED_DEFAULTS)
 from ..index.hash_index import GenomeIndex
+from ..ops.genome_gather import gather_windows
 from ..ops.lv import NEG_INF
 from ..utils.seed_sequencer import seed_position_schedule
 from . import single as sg
@@ -56,6 +57,19 @@ class PairedAlignerConfig:
     score_budget_per_read: int = 16
     compact_per_read: int = 32
     overflow_tier: bool = False
+    # Mate-window rescue: scan the spacing windows implied by the mate's
+    # best candidates for an alignment the candidate budget lost.  The
+    # reference gets this implicitly — its intersection walks COMPLETE hit
+    # lists (up to 16000/seed, IntersectingPairedEndAligner.cpp:355-512),
+    # so a flood read's true location always reaches pairing; our static
+    # budgets truncate floods (measured: satellite reads carry 10^4..10^5
+    # raw hits on hg-like genomes), and the rescue recovers exactly the
+    # in-window alignments those truncations dropped.  One reversed
+    # free-start Myers scan (ops/bitpar.py) per mate candidate window +
+    # one whole-read LV for the winner; no effect when the budget already
+    # holds the in-window candidates (rescue dedups against them).
+    mate_rescue: bool = True
+    rescue_mates: int = 2           # mate candidates whose windows are scanned
 
     @property
     def e_max(self) -> int:
@@ -109,6 +123,105 @@ def _dense_per_read(u, sc, in_prob_flags, B, K):
         # reads with > K scored locations) — observable, never silent
         overflow=(sel & ~keep).sum(),
     )
+
+
+def _mate_rescue_end(d_e, d_m, reads_e, quals_e, genome_p4, piece_starts,
+                     ecfg, cfg: PairedAlignerConfig, read_len, genome_size,
+                     B):
+    """One rescued candidate for end e from its mate's top candidates.
+
+    For each of the mate's top `rescue_mates` scored candidates, scan the
+    two pair-spacing windows ([loc_m - max_sp, loc_m - min_sp] and
+    [loc_m + min_sp, loc_m + max_sp], opposite orientation — the exact
+    window pair_phase accepts) with a reversed FREE-START Myers scan
+    (ops/bitpar.py track_pos) that returns the best whole-read distance and
+    its exact start location; the best in-budget window winner is then
+    scored through the standard score_phase (seed_len=0: whole-read LV +
+    probability backtrace at the found start), so its score/logp/loc_adj
+    are bit-compatible with budget-kept candidates."""
+    from ..ops.bitpar import bitpar_distance
+    R = cfg.rescue_mates
+    K = d_m["score"].shape[1]
+    gate = ecfg.e_max
+    span = cfg.max_spacing - cfg.min_spacing
+    WLEN = span + read_len + 2 * MAX_K
+
+    # top-R mate candidates by (score asc, logp desc)
+    key = jnp.where(d_m["live"],
+                    d_m["score"].astype(jnp.float32) * 1e6
+                    - jnp.clip(d_m["logp"], -1e5, 0), jnp.float32(3e12))
+    rows = jnp.arange(B)
+    m_loc, m_dir, m_live = [], [], []
+    for _ in range(R):
+        w = jnp.argmin(key, axis=1)
+        m_loc.append(d_m["loc"][rows, w])
+        m_dir.append(d_m["dir"][rows, w])
+        m_live.append(key[rows, w] < 3e12)
+        key = key.at[rows, w].set(jnp.float32(3e12))
+    m_loc = jnp.stack(m_loc, axis=1)                  # (B, R)
+    m_dir = jnp.stack(m_dir, axis=1)
+    m_live = jnp.stack(m_live, axis=1)
+
+    # window starts: side 0 = upstream of the mate, side 1 = downstream
+    lo = jnp.stack([m_loc - cfg.max_spacing,
+                    m_loc + cfg.min_spacing], axis=2)  # (B, R, 2)
+    NW = R * 2
+    win_start = (lo - MAX_K).reshape(B * NW)
+    dir_r = (1 - m_dir)[:, :, None]
+    dir_rows = jnp.broadcast_to(dir_r, (B, R, 2)).reshape(B * NW)
+    live_rows = jnp.broadcast_to(m_live[:, :, None], (B, R, 2)).reshape(B * NW)
+
+    window = gather_windows(genome_p4, win_start, width=WLEN)   # (B*NW, WLEN)
+
+    rc_reads = sg.COMP_LUT[reads_e[:, ::-1].astype(jnp.int32)]
+    read_both = jnp.stack([reads_e, rc_reads], axis=1)
+    ridx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), NW)
+    pat = read_both[ridx, dir_rows]                             # (B*NW, L)
+
+    # reversed scan: forward start s maps to reversed end column
+    # WLEN - 1 - j_rev; free start + free end = best substring match
+    enc = bitpar_distance(pat[:, ::-1], window[:, ::-1],
+                          jnp.full((B * NW,), WLEN, jnp.int32),
+                          P=read_len, track_pos=True, free_start=True)
+    dist = enc >> 12
+    start_in_w = WLEN - 1 - (enc & 4095)
+    loc_r = win_start + start_in_w
+    # start must lie inside the spacing interval for pair_phase to accept
+    in_range = (start_in_w >= MAX_K) & (start_in_w <= MAX_K + span)
+    ok = live_rows & in_range & (dist <= gate)
+
+    # best window per read: (dist asc, row asc)
+    ekey = jnp.where(ok, dist * NW + jnp.arange(B * NW) % NW,
+                     jnp.int32(0x7FFFFFF0)).reshape(B, NW)
+    wsel = jnp.argmin(ekey, axis=1)
+    valid = ekey[rows, wsel] < 0x7FFFFFF0
+    loc_best = loc_r.reshape(B, NW)[rows, wsel]
+    dir_best = dir_rows.reshape(B, NW)[rows, wsel]
+
+    # dedup: drop if a live dense candidate already covers the location
+    dup = ((jnp.abs(d_e["loc"] - loc_best[:, None]) <= MAX_MERGE_DIST)
+           & (d_e["dir"] == dir_best[:, None]) & d_e["live"]).any(axis=1)
+    valid = valid & ~dup
+
+    u_r = dict(read=jnp.arange(B, dtype=jnp.int32), dir=dir_best,
+               loc=jnp.where(valid, loc_best, 0),
+               off=jnp.zeros((B,), jnp.int32), live=valid)
+    sc = sg.score_phase(u_r, reads_e, quals_e, genome_p4, piece_starts,
+                        ecfg, 0, read_len, genome_size)
+    keep = valid & sc["scored_ok"]
+    return dict(loc=jnp.where(keep, sc["loc_adj"], 0)[:, None],
+                dir=dir_best[:, None],
+                score=jnp.where(keep, sc["score"], BIG)[:, None],
+                logp=jnp.where(keep, sc["logp"], NEG_INF)[:, None],
+                live=keep[:, None], in_prob=keep[:, None],
+                n_rescued=keep.sum())
+
+
+def _append_dense(d, resc):
+    out = {k: jnp.concatenate([d[k], resc[k]], axis=1)
+           for k in ("loc", "dir", "score", "logp", "live", "in_prob")}
+    out["overflow"] = d["overflow"]
+    return out
 
 
 def pair_phase(d0, d1, cfg: PairedAlignerConfig, popular0, popular1):
@@ -277,6 +390,22 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
                          score_overflow=eo["score_overflow"],
                          dense_overflow=eo["dense"]["overflow"]))
 
+    if cfg.mate_rescue and cfg.rescue_mates > 0:
+        # both rescues read the PRE-append mate dense sets
+        rrs = []
+        for e, (reads_e, quals_e) in enumerate(((reads0, quals0),
+                                                (reads1, quals1))):
+            rrs.append(_mate_rescue_end(
+                ends[e]["dense"], ends[1 - e]["dense"], reads_e, quals_e,
+                genome_p4, piece_starts, ecfg, cfg, read_len, genome_size,
+                B))
+        for e in (0, 1):
+            ends[e]["dense"] = _append_dense(ends[e]["dense"], rrs[e])
+            ends[e]["n_rescued"] = rrs[e]["n_rescued"]
+    else:
+        for e in (0, 1):
+            ends[e]["n_rescued"] = jnp.int32(0)
+
     pr = pair_phase(ends[0]["dense"], ends[1]["dense"], cfg,
                     ends[0]["popular"], ends[1]["popular"])
 
@@ -308,7 +437,7 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
         # per-end device counters (BaseAligner.h:113-118 analog), consumed
         # by the pipeline's perf log (models/paired_pipeline.py drain())
         for c in ("n_lookups", "n_candidates", "n_scored",
-                  "score_overflow", "dense_overflow"):
+                  "score_overflow", "dense_overflow", "n_rescued"):
             out[f"{c}{e}"] = ends[e][c]
     return out
 

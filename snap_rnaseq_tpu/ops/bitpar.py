@@ -67,9 +67,11 @@ def pack_peq(pattern: jnp.ndarray, P: int) -> jnp.ndarray:
 
 
 def _bitpar_kernel(peq_ref, text_ref, tlen_ref, out_ref, *,
-                   P: int, W: int, TXT: int):
+                   P: int, W: int, TXT: int, track_pos: bool = False,
+                   free_start: bool = False):
     """peq: (4*W, C) u32; text: (TXT, C) i32; tlen: (1, C) i32;
-    out: (1, C) i32."""
+    out: (1, C) i32 — min distance, or with track_pos the encoded
+    (score << 12 | end_column) minimum (earliest best end column)."""
     C = out_ref.shape[1]
     peq = peq_ref[...]
     tlen = tlen_ref[...]                   # (1, C)
@@ -78,7 +80,7 @@ def _bitpar_kernel(peq_ref, text_ref, tlen_ref, out_ref, *,
     PV = ones
     MV = jnp.zeros((W, C), jnp.uint32)
     score = jnp.full((1, C), P, jnp.int32)
-    best = score
+    best = (score * 4096 + 4095) if track_pos else score
     hb_word = (P - 1) // 32
     hb_bit = jnp.uint32(1 << ((P - 1) % 32))
 
@@ -118,22 +120,28 @@ def _bitpar_kernel(peq_ref, text_ref, tlen_ref, out_ref, *,
         ph_hi = ((Ph[hb_word:hb_word + 1, :] & hb_bit) != 0).astype(jnp.int32)
         mh_hi = ((Mh[hb_word:hb_word + 1, :] & hb_bit) != 0).astype(jnp.int32)
         score = score + ph_hi - mh_hi
-        Phs = shl1(Ph, ones1)
+        # row-0 boundary: global start charges a prefix deletion per
+        # column (fill 1); free start (semi-global search, used by the
+        # mate-window rescue) fills 0
+        Phs = shl1(Ph, zeros1 if free_start else ones1)
         Mhs = shl1(Mh, zeros1)
         PV = Mhs | ~(Xv | Phs)
         MV = Phs & Xv
         # only columns within this candidate's text count
         valid = (j < tlen).astype(jnp.int32)
-        cand = jnp.where(valid == 1, score, jnp.int32(0x7FFF))
+        enc = (score * 4096 + j) if track_pos else score
+        cand = jnp.where(valid == 1, enc, jnp.int32(0x7FFFFFF0))
         best = jnp.minimum(best, cand)
 
     out_ref[...] = best
 
 
-@functools.partial(jax.jit, static_argnames=("P", "interpret", "tile"))
+@functools.partial(jax.jit, static_argnames=("P", "interpret", "tile",
+                                              "track_pos", "free_start"))
 def bitpar_distance_pallas(peq, text_t, t_len, *, P: int,
                            interpret: bool = False,
-                           tile: int = BP_TILE):
+                           tile: int = BP_TILE, track_pos: bool = False,
+                           free_start: bool = False):
     """peq: (B, 4, W) u32; text_t: (TXT, B) int32 (column-major text codes);
     t_len: (B,) int32.  Returns int32 (B,) min semi-global distance."""
     B = peq.shape[0]
@@ -149,7 +157,8 @@ def bitpar_distance_pallas(peq, text_t, t_len, *, P: int,
     # (B, 4, W) -> (4*W, B): word-major rows for sublane layout
     peq_rows = peq.reshape(Bp, 4 * W).T
     grid = (Bp // C,)
-    kernel = functools.partial(_bitpar_kernel, P=P, W=W, TXT=TXT)
+    kernel = functools.partial(_bitpar_kernel, P=P, W=W, TXT=TXT,
+                               track_pos=track_pos, free_start=free_start)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -166,8 +175,10 @@ def bitpar_distance_pallas(peq, text_t, t_len, *, P: int,
     return out[0, :B]
 
 
-@functools.partial(jax.jit, static_argnames=("P",))
-def bitpar_distance_jax(pattern, text, t_len, *, P: int):
+@functools.partial(jax.jit, static_argnames=("P", "track_pos",
+                                              "free_start"))
+def bitpar_distance_jax(pattern, text, t_len, *, P: int,
+                        track_pos: bool = False, free_start: bool = False):
     """Pure-JAX reference/fallback: same algorithm, scan over columns.
 
     pattern: (B, P) u8 codes; text: (B, TXT) u8; t_len: (B,) int32."""
@@ -177,7 +188,7 @@ def bitpar_distance_jax(pattern, text, t_len, *, P: int):
     PV = jnp.full((B, W), 0xFFFFFFFF, jnp.uint32)
     MV = jnp.zeros((B, W), jnp.uint32)
     score = jnp.full(B, P, jnp.int32)
-    best = score
+    best = (score * 4096 + 4095) if track_pos else score
     hb_word = (P - 1) // 32
     hb_bit = jnp.uint32(1 << ((P - 1) % 32))
 
@@ -212,11 +223,12 @@ def bitpar_distance_jax(pattern, text, t_len, *, P: int):
         ph_hi = ((Ph[:, hb_word] & hb_bit) != 0).astype(jnp.int32)
         mh_hi = ((Mh[:, hb_word] & hb_bit) != 0).astype(jnp.int32)
         score = score + ph_hi - mh_hi
-        Phs = shl1(Ph, ones1)
+        Phs = shl1(Ph, zeros1 if free_start else ones1)
         Mhs = shl1(Mh, zeros1)
         PV = Mhs | ~(Xv | Phs)
         MV = Phs & Xv
-        cand = jnp.where(j < t_len, score, jnp.int32(0x7FFF))
+        enc = (score * 4096 + j) if track_pos else score
+        cand = jnp.where(j < t_len, enc, jnp.int32(0x7FFFFFF0))
         best = jnp.minimum(best, cand)
         return (PV, MV, score, best), None
 
@@ -225,13 +237,22 @@ def bitpar_distance_jax(pattern, text, t_len, *, P: int):
     return best
 
 
-def bitpar_distance(pattern, text, t_len, *, P: int):
-    """Dispatcher: pallas on TPU, jax elsewhere (SNAP_TPU_LV honored)."""
+def bitpar_distance(pattern, text, t_len, *, P: int, track_pos: bool = False,
+                    free_start: bool = False):
+    """Dispatcher: pallas on TPU, jax elsewhere (SNAP_TPU_LV honored).
+
+    track_pos: return (score << 12) | end_column encodings instead of bare
+    distances — min over columns is lexicographic (score, column), i.e. the
+    EARLIEST best end column (used by the paired mate-window rescue)."""
     from .lv import _lv_backend
     backend = _lv_backend()
     if backend == "jax":
-        return bitpar_distance_jax(pattern, text, t_len, P=P)
+        return bitpar_distance_jax(pattern, text, t_len, P=P,
+                                   track_pos=track_pos,
+                                   free_start=free_start)
     peq = pack_peq(jnp.asarray(pattern), P)
     text_t = jnp.asarray(text).astype(jnp.int32).T
     return bitpar_distance_pallas(peq, text_t, jnp.asarray(t_len), P=P,
-                                  interpret=(backend == "interpret"))
+                                  interpret=(backend == "interpret"),
+                                  track_pos=track_pos,
+                                  free_start=free_start)

@@ -397,6 +397,21 @@ def _sharded_align_paired(reads0, quals0, reads1, quals1, ht_entries,
                              popular=single_out["popular"],
                              truncated=jax.lax.psum(trunc, "index")))
 
+        if cfg.mate_rescue and cfg.rescue_mates > 0:
+            # mirror models/paired.py: mate-window rescue on the local
+            # (replicated-genome) shard; scoring is replicated across the
+            # index axis — B rows, negligible next to the shard pipelines
+            from ..models.paired import _append_dense, _mate_rescue_end
+            rrs = []
+            for e, (reads_l, quals_l) in enumerate(
+                    ((reads0_l, quals0_l), (reads1_l, quals1_l))):
+                rrs.append(_mate_rescue_end(
+                    ends[e]["dense"], ends[1 - e]["dense"], reads_l,
+                    quals_l, genome, pieces, ecfg, cfg, read_len,
+                    genome_size, B))
+            for e in (0, 1):
+                ends[e]["dense"] = _append_dense(ends[e]["dense"], rrs[e])
+
         pr = pair_phase(ends[0]["dense"], ends[1]["dense"], cfg,
                         ends[0]["popular"], ends[1]["popular"])
         out = dict(pair_found=pr["pair_found"], pair_score=pr["score"],
