@@ -66,6 +66,42 @@ def main():
                hit_size_p99=float(np.percentile(hs, 99)),
                hit_size_max=int(hs.max()),
                load_s=round(load_s, 1), check_s=round(check_s, 1))
+
+    # wgsim seeding accuracy at genome scale: for error-bearing reads, do
+    # the looked-up seeds vote the true origin?  (The full engine needs
+    # the table sharded over a multi-chip mesh at this footprint; this
+    # exercises the same lookup path the device kernels mirror.)
+    t2 = time.time()
+    n_reads, L = 2000, 100
+    sched = [0, 20, 40, 60, 80, 10, 30, 50]           # paired 8-seed schedule
+    r_rng = np.random.default_rng(1)
+    starts = r_rng.integers(0, idx.genome.num_bases - L - 600, n_reads)
+    top_correct = cand_seen = 0
+    for i in range(n_reads):
+        s = int(starts[i])
+        read = codes[s:s + L].copy()
+        n_sub = r_rng.binomial(L, 0.01)
+        if n_sub:
+            ps = r_rng.integers(0, L, n_sub)
+            read[ps] = (read[ps] + r_rng.integers(1, 4, n_sub)) % 4
+        f, rcp, v = pack_seeds_at(read, np.asarray(sched), seed_len)
+        votes = {}
+        for k in range(len(sched)):
+            if not v[k]:
+                continue
+            hits, _rh = idx.lookup_seed(int(f[k]), int(rcp[k]))
+            for h in hits[:64]:
+                votes[int(h) - sched[k]] = votes.get(int(h) - sched[k], 0) + 1
+        if not votes:
+            continue
+        cand_seen += s in votes
+        top = max(votes.items(), key=lambda kv: (kv[1], -abs(kv[0] - s)))[0]
+        top_correct += (top == s)
+    res["wgsim_seeding"] = dict(
+        n_reads=n_reads, sub_rate=0.01,
+        true_origin_in_candidates_pct=round(100 * cand_seen / n_reads, 2),
+        top_voted_is_true_pct=round(100 * top_correct / n_reads, 2),
+        check_s=round(time.time() - t2, 1))
     print(json.dumps(res, indent=1))
     assert miss == 0, f"{miss} sampled positions missing from the index"
     assert desc_ok, "overflow lists not descending"
