@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 from snap_rnaseq_tpu.cli import main as cli_main
-from snap_rnaseq_tpu.index.genome import read_fasta_genome
+from snap_rnaseq_tpu.index.genome import genome_from_codes, read_fasta_genome
+from snap_rnaseq_tpu.index.hash_index import build_index
 from snap_rnaseq_tpu.utils.tables import decode_bases, reverse_complement_codes
 
 
@@ -142,3 +143,27 @@ def test_wgsim_accuracy(workdir):
         if not (low - 14 <= loc <= high + 14):
             errs += 1
     assert errs == 0
+
+
+@pytest.mark.slow
+def test_long_reads_300bp():
+    """Reads up to the reference's MAX_READ_LENGTH=500 (Read.h:45; our cap
+    is a lane-friendly 512) run through the same engine: schedule, bitpar
+    word count, and LV tiles all scale with read length."""
+    rng = np.random.default_rng(23)
+    codes = rng.integers(0, 4, 400_000, dtype=np.uint8)
+    idx = build_index(genome_from_codes(codes), seed_len=20)
+    pad = int(idx.genome.piece_offsets[0])
+    B, L = 8, 300
+    starts = rng.integers(0, 399_000 - L, B)
+    reads = np.stack([codes[s:s + L] for s in starts]).copy()
+    for i in range(B):                       # a few scattered substitutions
+        for p in rng.integers(0, L, 3):
+            reads[i, p] = (reads[i, p] + 1) % 4
+    quals = np.full((B, L), ord("I"), np.uint8)
+    from snap_rnaseq_tpu.models.single import SingleAligner
+    out = SingleAligner(idx).align_batch(reads, quals)
+    assert (out["result"] > 0).all()
+    for i in range(B):
+        assert abs(int(out["loc"][i]) - (int(starts[i]) + pad)) <= 2
+        assert int(out["score"][i]) <= 3
