@@ -178,11 +178,28 @@ def main():
         pe_batches.append(tuple(jnp.asarray(x) for x in (r0, q0, r1, q1)))
 
     _STATE["stage"] = "pe-compile"
-    paired = PairedAligner(index)
-    _STATE["paired_aligner"] = paired   # reused by the e2e extra
     t = time.time()
-    out = paired.align_batch_device(*pe_batches[0])
-    jax.block_until_ready(out["pair_found"])
+    # The default bit-packed LV lanes kernel is newer than the last real-
+    # chip compile; if Mosaic rejects it, retry once on the proven onehot
+    # formulation so the bench always lands a number.
+    for lanes_impl in (None, "onehot"):
+        if lanes_impl:
+            os.environ["SNAP_TPU_LV_LANES"] = lanes_impl
+            _STATE["extra"]["lv_lanes_impl"] = lanes_impl + " (fallback)"
+            print("bench: retrying with SNAP_TPU_LV_LANES=onehot",
+                  file=sys.stderr, flush=True)
+        try:
+            paired = PairedAligner(index)
+            out = paired.align_batch_device(*pe_batches[0])
+            jax.block_until_ready(out["pair_found"])
+            break
+        except Exception as e:
+            if lanes_impl is not None:
+                _emit(0.0, vs=0.0, error=f"engine compile failed: {e}")
+                os._exit(4)
+            print(f"bench: default-kernel compile failed ({e})",
+                  file=sys.stderr, flush=True)
+    _STATE["paired_aligner"] = paired   # reused by the e2e extra
     _STATE["extra"]["pe_compile_s"] = round(time.time() - t, 1)
 
     _STATE["stage"] = "pe-measure"
