@@ -70,6 +70,12 @@ class PairedAlignerConfig:
     # holds the in-window candidates (rescue dedups against them).
     mate_rescue: bool = True
     rescue_mates: int = 2           # mate candidates whose windows are scanned
+    # Estimate the pair-probability mass of truncation-dropped candidates
+    # (truncated_count x mean kept non-best pair mass) and fold it into the
+    # MAPQ denominator.  Conservative direction only (never raises MAPQ);
+    # default decided empirically against the reference binary — see
+    # PARITY.md.  Env override: SNAP_TPU_TRUNC_MASS=0/1.
+    truncation_mass: bool = False
 
     @property
     def e_max(self) -> int:
@@ -224,8 +230,13 @@ def _append_dense(d, resc):
     return out
 
 
-def pair_phase(d0, d1, cfg: PairedAlignerConfig, popular0, popular1):
-    """Dense pair join + selection + pair MAPQ."""
+def pair_phase(d0, d1, cfg: PairedAlignerConfig, popular0, popular1,
+               trunc_total=None):
+    """Dense pair join + selection + pair MAPQ.
+
+    trunc_total: optional (B,) count of expand-truncated candidates across
+    both ends; with cfg.truncation_mass the estimated mass of the dropped
+    candidates joins the MAPQ denominator."""
     B, K = d0["score"].shape
     maxK, extra = cfg.max_k, cfg.extra_search_depth
 
@@ -263,6 +274,16 @@ def pair_phase(d0, d1, cfg: PairedAlignerConfig, popular0, popular1):
     is_best = jnp.zeros((B, K * K), bool).at[rows, w].set(True)
     mass_o = jnp.sum(jnp.where(in_mass & ~is_best,
                                jnp.exp(lp_pair - mx[:, None]), 0.0), axis=1)
+    if cfg.truncation_mass and trunc_total is not None:
+        # dropped candidates estimated at the mean kept non-best pair mass
+        # (same repeat families); adds to BOTH denominators, so MAPQ only
+        # ever moves down, and not at all when nothing truncated
+        count_o = jnp.sum((in_mass & ~is_best).astype(jnp.int32), axis=1)
+        est = trunc_total.astype(jnp.float32) * mass_o \
+            / jnp.maximum(count_o, 1).astype(jnp.float32)
+        mass = mass + est
+        mass_o = mass_o + est
+        log_pall = jnp.where(mass > 0, jnp.log(mass) + mx, NEG_INF)
     log_pother = jnp.where(mass_o > 0, jnp.log(mass_o) + mx, NEG_INF)
 
     popular = popular0 + popular1
@@ -407,7 +428,8 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
             ends[e]["n_rescued"] = jnp.int32(0)
 
     pr = pair_phase(ends[0]["dense"], ends[1]["dense"], cfg,
-                    ends[0]["popular"], ends[1]["popular"])
+                    ends[0]["popular"], ends[1]["popular"],
+                    trunc_total=ends[0]["truncated"] + ends[1]["truncated"])
 
     out = dict(pair_found=pr["pair_found"], pair_score=pr["score"],
                pair_mapq=pr["mapq"], pair_log_pall=pr["log_pall"])
@@ -451,6 +473,11 @@ class PairedAligner:
         cfg = config or PairedAlignerConfig(seed_len=index.seed_len)
         if overrides:
             cfg = PairedAlignerConfig(**{**cfg.__dict__, **overrides})
+        import os as _os
+        env_tm = _os.environ.get("SNAP_TPU_TRUNC_MASS")
+        if env_tm is not None and "truncation_mass" not in overrides:
+            cfg = PairedAlignerConfig(**{**cfg.__dict__,
+                                         "truncation_mass": env_tm == "1"})
         self.cfg = cfg
         arrs = index.device_arrays()
         import os
