@@ -93,6 +93,9 @@ def main(argv=None):
     p.add_argument("--out-json", default="/tmp/agreement_study.json")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (default: session backend)")
+    p.add_argument("--engine-json", default="{}",
+                   help="PairedAlignerConfig overrides as JSON "
+                        "(budget/rescue tuning A/Bs)")
     a = p.parse_args(argv)
 
     if a.cpu:
@@ -112,7 +115,7 @@ def main(argv=None):
 
     from snap_rnaseq_tpu.models.paired import PairedAligner
     r0, q0, r1, q1, p0, p1 = gen
-    al = PairedAligner(idx)
+    al = PairedAligner(idx, **json.loads(a.engine_json))
     B = a.batch
     keys = ("loc0", "loc1", "mapq0", "mapq1", "result0", "result1",
             "pair_found")
