@@ -360,14 +360,15 @@ def lv_distance_pallas_core(pattern, p_len, textp, t_len, k, qual_logp, *,
 def lv_lanes_tile(e_max: int) -> int:
     """Lane-tile size bounded by the (D, P, C) int32 temporaries in VMEM.
 
-    SNAP_TPU_LV_TILE overrides for A/B tuning; the bits impl's working set
-    is (D, W, C) — ~P/32 of the onehot impl's — so larger tiles fit."""
+    SNAP_TPU_LV_TILE overrides for A/B tuning.  Measured on the real chip
+    (tools/lv_ab.py, 2026-08-18): tile 512 makes Mosaic's compile helper
+    SIGABRT on the bits kernel at D<=16, and tile 128 is FASTER than 256
+    for both impls at every bench shape — so 128 everywhere."""
     import os
     env = os.environ.get("SNAP_TPU_LV_TILE")
     if env:
         return int(env)
-    D = 2 * e_max + 1
-    return 128 if D > 16 else 512
+    return 128
 
 
 def _lv_kernel_lanes_bits(prio_ref, pattern_ref, p_len_ref, text_ref,
