@@ -521,4 +521,4 @@ class PairedAligner:
         out = self.align_batch_device(
             jnp.asarray(reads0), jnp.asarray(quals0),
             jnp.asarray(reads1), jnp.asarray(quals1))
-        return {k: np.asarray(v) for k, v in out.items()}
+        return jax.device_get(out)

@@ -17,6 +17,7 @@ import time
 from collections import defaultdict
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -126,7 +127,10 @@ class PairedEndPipeline:
 
             def drain(pairs, out_dev):
                 td = time.time()
-                res = {k: np.asarray(v) for k, v in out_dev.items()}
+                # one bulk transfer: per-key np.asarray costs a full
+                # host<->device round trip each (high latency on the axon
+                # remote path; ~20 keys/batch dominated e2e wall time)
+                res = jax.device_get(out_dev)
                 self.wait.device_s += time.time() - td
                 stats.truncated_candidates += int(
                     (res["truncated0"] > 0).sum() + (res["truncated1"] > 0).sum())

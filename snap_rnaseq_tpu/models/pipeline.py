@@ -17,6 +17,7 @@ import time
 from collections import defaultdict
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,7 +96,7 @@ class SingleEndPipeline:
 
             def drain(reads, out_dev):
                 td = time.time()
-                res = {k: np.asarray(v) for k, v in out_dev.items()}
+                res = jax.device_get(out_dev)
                 self.wait.device_s += time.time() - td
                 stats.lv_calls += int(res["n_lookups"])
                 stats.popular_skipped += int(res["popular"].sum())

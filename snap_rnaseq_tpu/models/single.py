@@ -32,6 +32,7 @@ Known deviations from the reference (documented, revisited in later rounds):
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -44,7 +45,7 @@ from ..constants import (DEFAULT_EXTRA_SEARCH_DEPTH, INVALID_GENOME_LOCATION,
 from ..index.hash_index import GenomeIndex
 from ..ops import lookup as lk
 from ..ops.genome_gather import gather_windows, pack_genome_4bit
-from ..ops.lv import NEG_INF, lv_distance
+from ..ops.lv import NEG_INF, PHRED_LOG_PROB, lv_distance
 from ..utils.seed_sequencer import seed_position_schedule
 
 # result codes (analog of AlignmentResult, Aligner.h)
@@ -436,23 +437,64 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     t_len = jnp.full((C,), want, jnp.int32)
     wdist = bitpar_distance(sel, text, t_len, P=read_len)
 
-    # Distance buckets: a candidate's LV head/tail distances are each
-    # bounded by its whole-read distance (restricting the whole alignment to
-    # either side never costs more), so survivors with a small whole-read
-    # distance can run in a much narrower DP band — identical results,
-    # ~ (D_small/D_full) of the work.  E0 catches the bulk (reads with <=3
-    # errors) in a D=7 kernel; E1 the mid tail; bucket 2 the deep tail.
+    # ---- anchored pure-substitution fast path -----------------------------
+    # When the free-start whole-read distance equals the ANCHORED hamming
+    # distance (read laid at exactly loc, no indels), both seed-split LV
+    # calls must return the anchored pure-substitution path: any tail (or
+    # head) alignment using an indel to score below its anchored hamming
+    # count would concatenate with the other side's anchored alignment into
+    # a whole-read path cheaper than wdist — contradiction.  Score and
+    # probability then have closed forms (score = hamming; logp = sum of
+    # phred log-probs at mismatch offsets + (P - ham) matches; the
+    # free-prefix / seed-factor terms telescope to exactly that — see
+    # _backtrace_prob), and net_indel = 0 so loc_adj = loc.  This removes
+    # the large indel-free majority of survivors from the LV kernels (the
+    # hot cost, PERF.md round-3).  Kill-switch: SNAP_TPU_FAST_SUB=0.
+    # Piece-boundary rows (clipped text) keep the LV path untouched.
     E0 = min(3, e_max)
     E1 = min(7, e_max)
-    keep0 = live & (wdist <= E0)
-    keep1 = live & (wdist > E0) & (wdist <= E1)
-    keep2 = live & (wdist > E1) & (wdist <= e_max)
 
     score = jnp.full((C,), BIG, jnp.int32)
     logp = jnp.full((C,), NEG_INF, jnp.float32)
     loc_adj = u["loc"]
     scored_ok = jnp.zeros((C,), bool)
     overflow = jnp.int32(0)
+
+    fast = jnp.zeros((C,), bool)
+    if os.environ.get("SNAP_TPU_FAST_SUB", "1") != "0":
+        pidx = jnp.clip(
+            jnp.searchsorted(piece_starts, loc_c, side="right") - 1,
+            0, piece_starts.shape[0] - 1)
+        next_start = jnp.where(
+            pidx + 1 < piece_starts.shape[0],
+            piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
+            genome_size)
+        crosses = loc_c + read_len + MAX_K > jnp.minimum(next_start,
+                                                         genome_size)
+        text0 = window[:, MAX_K:MAX_K + read_len]
+        mm = sel != text0
+        ham = mm.sum(axis=1).astype(jnp.int32)
+        fast = live & ~crosses & (wdist <= e_max) & (ham == wdist)
+        rc_quals = quals[:, ::-1]
+        qual_both = jnp.stack([quals, rc_quals], axis=1)
+        selq = qual_both[u["read"], u["dir"]]
+        qlp = jnp.asarray(PHRED_LOG_PROB)[selq.astype(jnp.int32)]
+        logp_f = (jnp.where(mm, qlp, 0.0).sum(axis=1)
+                  + (read_len - ham).astype(jnp.float32)
+                  * LOG_ONE_MINUS_SNP)
+        score = jnp.where(fast, ham, score)
+        logp = jnp.where(fast, logp_f, logp)
+        scored_ok = fast
+
+    # Distance buckets: a candidate's LV head/tail distances are each
+    # bounded by its whole-read distance (restricting the whole alignment to
+    # either side never costs more), so survivors with a small whole-read
+    # distance can run in a much narrower DP band — identical results,
+    # ~ (D_small/D_full) of the work.  E0 catches the bulk (reads with <=3
+    # errors) in a D=7 kernel; E1 the mid tail; bucket 2 the deep tail.
+    keep0 = live & ~fast & (wdist <= E0)
+    keep1 = live & ~fast & (wdist > E0) & (wdist <= E1)
+    keep2 = live & ~fast & (wdist > E1) & (wdist <= e_max)
 
     per_read = max(cfg.score_budget_per_read, cfg.max_hits_to_get)
 
@@ -481,14 +523,24 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     # with zero accuracy cost; the big tier remains the exact fallback.
     SB_big = min(B * per_read, C)
     SB_small = min(B * max(2, per_read // 4), SB_big)
+    # with the substitution fast path on, LV sees only indel/clipped rows —
+    # a B-row bottom tier covers the common case at ~1/4 the small tier
+    SB_tiny = min(B, SB_small)
     n0 = keep0.sum()
     st = (score, logp, loc_adj, scored_ok)
     if SB_small < SB_big:
-        st = jax.lax.cond(
+        big_side = lambda s: jax.lax.cond(
             n0 <= SB_small,
-            lambda s: run_bucket(keep0, SB_small, E0, *s),
-            lambda s: run_bucket(keep0, SB_big, E0, *s),
-            st)
+            lambda t: run_bucket(keep0, SB_small, E0, *t),
+            lambda t: run_bucket(keep0, SB_big, E0, *t),
+            s)
+        if SB_tiny < SB_small:
+            st = jax.lax.cond(
+                n0 <= SB_tiny,
+                lambda s: run_bucket(keep0, SB_tiny, E0, *s),
+                big_side, st)
+        else:
+            st = big_side(st)
     else:
         st = run_bucket(keep0, SB_big, E0, *st)
     score, logp, loc_adj, scored_ok = st
@@ -848,4 +900,4 @@ class SingleAligner:
     def align_batch(self, reads: np.ndarray, quals: np.ndarray) -> dict:
         """reads: (B, L) uint8 base codes (uniform length); quals ASCII."""
         out = self.align_batch_device(jnp.asarray(reads), jnp.asarray(quals))
-        return {k: np.asarray(v) for k, v in out.items()}
+        return jax.device_get(out)

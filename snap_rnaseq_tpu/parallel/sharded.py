@@ -197,7 +197,7 @@ class ShardedSingleAligner:
 
     def align_batch(self, reads: np.ndarray, quals: np.ndarray) -> dict:
         out = self.align_batch_device(reads, quals)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return jax.device_get(out)
 
 
 def seed_position_schedule_cached(read_len, seed_len, max_slots):
@@ -361,7 +361,7 @@ class ShardedPairedAligner:
 
     def align_batch(self, reads0, quals0, reads1, quals1) -> dict:
         out = self.align_batch_device(reads0, quals0, reads1, quals1)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return jax.device_get(out)
 
 
 @functools.partial(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import numpy as np
 
 from ..constants import INVALID_GENOME_LOCATION
@@ -550,7 +551,7 @@ class BatchCharacterizer:
                         seed_len=self.index.seed_len,
                         genome_size=self.genome_size,
                         max_hits=self.max_hits, read_len=L, cpr=self.slots)
-        res = {k: np.asarray(v) for k, v in out.items()}
+        res = jax.device_get(out)
         cache: dict[int, tuple] = {}
 
         def row(i: int):

@@ -13,8 +13,21 @@ def enable_compilation_cache(path: str | None = None) -> None:
     backends, so we set the config explicitly.
     """
     import jax
-    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                  "/tmp/snap_tpu_jax_cache")
+    if path is None:
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if path is None:
+        # Stable location surviving /tmp recycling between sessions: the
+        # TPU paired-engine executable takes ~5 min to compile cold
+        # (PERF.md round 3), so losing the cache costs real bench budget.
+        for cand in ("/root/bench_cache/jax_cache", "/tmp/snap_tpu_jax_cache"):
+            try:
+                os.makedirs(cand, exist_ok=True)
+                path = cand
+                break
+            except OSError:
+                continue
+        else:
+            path = "/tmp/snap_tpu_jax_cache"
     # One cache dir PER BACKEND: entries written under the TPU plugin must
     # not be loaded by plain-CPU processes (cpu_aot_loader machine-feature
     # mismatch).  Caching aggressively ALSO matters for stability, not just

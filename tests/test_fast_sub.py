@@ -1,0 +1,107 @@
+"""Anchored pure-substitution scoring fast path == full LV path.
+
+filtered_score_phase (models/single.py) short-circuits candidates whose
+free-start whole-read bit-parallel distance equals the anchored hamming
+distance: score/logp/loc_adj then have closed forms.  These tests assert
+the closed forms match what the LV kernels produce, on reads carrying
+substitutions (fast-path rows), indels (LV rows), and piece-boundary
+clipping (excluded rows) — the same inputs either way, outputs compared
+elementwise.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from snap_rnaseq_tpu.index.genome import genome_from_codes
+from snap_rnaseq_tpu.index.hash_index import build_index
+from snap_rnaseq_tpu.models import single as sg
+from snap_rnaseq_tpu.models.single import SingleAligner
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    G = 200000
+    codes = rng.integers(0, 4, G, dtype=np.uint8)
+    g = genome_from_codes(codes)
+    idx = build_index(g, seed_len=20)
+
+    B, L = 32, 100
+    starts = rng.integers(0, G - 2 * L, B)
+    reads = np.zeros((B, L), np.uint8)
+    for i, s in enumerate(starts):
+        r = codes[s:s + L + 4].copy()
+        kind = i % 4
+        if kind == 0:          # clean
+            r = r[:L]
+        elif kind == 1:        # substitutions only
+            r = r[:L]
+            for _ in range(int(rng.integers(1, 4))):
+                p = rng.integers(0, L)
+                r[p] = (r[p] + rng.integers(1, 4)) % 4
+        elif kind == 2:        # deletion (genome base skipped)
+            p = int(rng.integers(10, L - 10))
+            r = np.concatenate([r[:p], r[p + 1:]])[:L]
+        else:                  # insertion
+            p = int(rng.integers(10, L - 10))
+            r = np.concatenate([r[:p], [rng.integers(0, 4)], r[p:]])[:L]
+        reads[i] = r
+    quals = rng.integers(35, 74, (B, L)).astype(np.uint8)
+    return idx, reads, quals
+
+
+def _score_both_ways(idx, reads, quals, monkeypatch_env):
+    import jax.numpy as jnp
+    al = SingleAligner(idx)
+    cfg = al.cfg.resolve_for_read_len(reads.shape[1])
+    L = reads.shape[1]
+    from snap_rnaseq_tpu.utils.seed_sequencer import seed_position_schedule
+    positions, wraps = seed_position_schedule(L, idx.seed_len)
+    S = min(cfg.max_seed_slots, len(positions))
+    schedule = jnp.asarray(positions[:S])
+    sched_static = tuple(int(x) for x in positions[:S])
+    B = reads.shape[0]
+
+    seeds = sg.seed_phase(jnp.asarray(reads), schedule, idx.seed_len,
+                          al._dev["ht_entries"], al._dev["shard_start"],
+                          al._dev["shard_size"], al._dev["overflow"],
+                          al.genome_size, sched_static, al._cuckoo)
+    cg = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
+    budget = sg.budget_phase(seeds["valid"], cg, jnp.asarray(wraps[:S]), cfg)
+    cands = sg.expand_phase(seeds, budget, schedule, al._dev["overflow"],
+                            cfg, idx.seed_len, L, cfg.cand_per_read)
+    u_full = sg.aggregate_phase(cands)
+    u, _ = sg.compact_phase(u_full, B, cfg)
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch_env.setenv("SNAP_TPU_FAST_SUB", flag)
+        sc = sg.filtered_score_phase(
+            u, jnp.asarray(reads), jnp.asarray(quals), al._dev["genome_p4"],
+            al._dev["piece_starts"], cfg, idx.seed_len, L, al.genome_size, B)
+        outs[flag] = {k: np.asarray(v) for k, v in sc.items()}
+    return outs["1"], outs["0"]
+
+
+def test_fast_path_matches_lv(setup, monkeypatch):
+    idx, reads, quals = setup
+    on, off = _score_both_ways(idx, reads, quals, monkeypatch)
+    np.testing.assert_array_equal(on["scored_ok"], off["scored_ok"])
+    ok = on["scored_ok"]
+    np.testing.assert_array_equal(on["score"][ok], off["score"][ok])
+    np.testing.assert_array_equal(on["loc_adj"][ok], off["loc_adj"][ok])
+    # float sum order differs between the closed form and the LV backtrace
+    np.testing.assert_allclose(on["logp"][ok], off["logp"][ok],
+                               rtol=0, atol=2e-4)
+
+
+def test_fast_path_covers_majority(setup, monkeypatch):
+    """On substitution-only reads the fast path must carry nearly all
+    scored rows (that is the perf story: LV only sees indel rows)."""
+    idx, reads, quals = setup
+    monkeypatch.setenv("SNAP_TPU_FAST_SUB", "1")
+    # engine end-to-end still aligns everything correctly
+    al = SingleAligner(idx)
+    out = al.align_batch(reads, quals)
+    assert (np.asarray(out["result"]) > 0).mean() >= 0.9
