@@ -51,6 +51,13 @@ _PRINTED = threading.Event()
 _STATE = {"stage": "startup", "extra": {}}
 
 
+def _stage(name):
+    """Record + log a stage transition (stderr; stdout is the JSON line)."""
+    _STATE["stage"] = name
+    print(f"bench: [{time.time() - T0:7.1f}s] stage {name}",
+          file=sys.stderr, flush=True)
+
+
 def _emit(value, unit="reads/s", vs=None, **extra):
     """Print the single JSON result line exactly once."""
     if _PRINTED.is_set():
@@ -114,9 +121,9 @@ def _bench_index(cache_dir):
     from snap_rnaseq_tpu.index.hash_index import GenomeIndex, build_index
     from snap_rnaseq_tpu.utils.synth_genome import hg_like_genome
     if os.path.exists(os.path.join(cache_dir, "index.json")):
-        _STATE["stage"] = "index-load"
+        _stage("index-load")
         return GenomeIndex.load(cache_dir)
-    _STATE["stage"] = "index-build"
+    _stage("index-build")
     codes = hg_like_genome(GENOME_BASES, seed=0)
     index = build_index(genome_from_codes(codes), seed_len=20)
     try:
@@ -129,7 +136,7 @@ def _bench_index(cache_dir):
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    _STATE["stage"] = "tpu-probe"
+    _stage("tpu-probe")
     on_tpu = _probe_tpu()
     if not on_tpu:
         # JAX_PLATFORMS=cpu alone does NOT stop the axon plugin from
@@ -167,7 +174,7 @@ def main():
     index = _bench_index(cache_dir)
     _STATE["extra"]["index_ready_s"] = round(time.time() - t, 1)
 
-    _STATE["stage"] = "read-synth"
+    _stage("read-synth")
     codes = np.asarray(index.genome.codes)
     pad = int(index.genome.piece_offsets[0])
     body = codes[pad:pad + GENOME_BASES]
@@ -177,7 +184,7 @@ def main():
                                            seed=s)
         pe_batches.append(tuple(jnp.asarray(x) for x in (r0, q0, r1, q1)))
 
-    _STATE["stage"] = "pe-compile"
+    _stage("pe-compile")
     t = time.time()
     # The default bit-packed LV lanes kernel is newer than the last real-
     # chip compile; if Mosaic rejects it, retry once on the proven onehot
@@ -191,7 +198,11 @@ def main():
         try:
             paired = PairedAligner(index)
             out = paired.align_batch_device(*pe_batches[0])
-            jax.block_until_ready(out["pair_found"])
+            # REAL device fetch: block_until_ready through the axon remote
+            # path returns before the work is done (PERF.md methodology),
+            # which would leak the first-execution program-load cost of an
+            # AOT-deserialized executable into the measure window
+            np.asarray(out["pair_found"])
             break
         except Exception as e:
             if lanes_impl is not None:
@@ -202,7 +213,7 @@ def main():
     _STATE["paired_aligner"] = paired   # reused by the e2e extra
     _STATE["extra"]["pe_compile_s"] = round(time.time() - t, 1)
 
-    _STATE["stage"] = "pe-measure"
+    _stage("pe-measure")
     # Adaptive rounds: stop early if the deadline nears, compute rps from
     # whatever completed (>=1 round).  One final sync only (PERF.md
     # methodology — per-call syncs through axon lie).
@@ -253,7 +264,7 @@ def _e2e_extra(index, pe_batches, paired):
     from snap_rnaseq_tpu.models.paired_pipeline import (PairedEndPipeline,
                                                         PairedPipelineOptions)
     from snap_rnaseq_tpu.utils.tables import decode_bases
-    _STATE["stage"] = "e2e-measure"
+    _stage("e2e-measure")
     with tempfile.TemporaryDirectory() as td:
         with open(f"{td}/r1.fq", "wb") as f0, open(f"{td}/r2.fq", "wb") as f1:
             for bi in range(len(pe_batches)):
@@ -270,6 +281,9 @@ def _e2e_extra(index, pe_batches, paired):
         t0 = time.time()
         stats = pipe.run(f"{td}/r1.fq", f"{td}/r2.fq", f"{td}/out.sam")
         dt = time.time() - t0
+        print(f"bench: e2e profile: wall {dt:.1f}s reads {stats.total_reads}"
+              f" device_s {pipe.wait.device_s:.1f}"
+              f" write_s {pipe.wait.write_s:.1f}", file=sys.stderr, flush=True)
         return round(stats.total_reads / dt, 1)
 
 
@@ -282,7 +296,7 @@ def _se_extra(index, pe_batches, baseline):
     single = SingleAligner(index)
     se_batches = [(r0, q0) for (r0, q0, _, _) in pe_batches]
     sout = single.align_batch_device(*se_batches[0])
-    jax.block_until_ready(sout["result"])
+    np.asarray(sout["result"])   # real fetch (see pe warmup note)
     t0 = time.time()
     ns = 0
     for i in range(ROUNDS):

@@ -80,24 +80,38 @@ class SamRecordBuilder:
         self._items = []
 
     def add(self, read: Read, result: int, location: int, direction: int,
-            mapq: int, *, mate=None, splice_rewriter=None, tsource=None):
+            mapq: int, *, mate=None, splice_rewriter=None, tsource=None,
+            score=None):
         """mate: optional dict(result, location, direction, read, first) for
         paired output; splice_rewriter: callable(tokens) -> tokens rewriting
         transcript-space CIGAR tokens to genome space (N ops inserted);
         tsource: optional (codes_array, tlocation) — the transcriptome the
         CIGAR text is gathered from instead of the output genome
-        (SAM.cpp:1040-1066's transcriptome branch)."""
+        (SAM.cpp:1040-1066's transcriptome branch);
+        score: the engine's edit distance for this alignment, when known.
+        When it equals the anchored mismatch count (the overwhelmingly
+        common substitution-only case), the CIGAR has a closed form and the
+        batched LV backtrace kernel is skipped for this record entirely —
+        the device call + table fetch is the dominant host-pipeline cost
+        (the reference reuses its per-read LV cache here,
+        BaseAligner.cpp:1196-1238; our engine recomputes, so not re-running
+        the DP for indel-free records is the batched analog)."""
         self._items.append((read, result, location, direction, mapq, mate,
-                            splice_rewriter, tsource))
+                            splice_rewriter, tsource, score))
 
     def _cigar_inputs(self):
-        """Gather (pattern, text) for every mapped record."""
+        """Gather (pattern, text) for every mapped record.  Records whose
+        engine score equals the anchored mismatch count get their CIGAR
+        emitted immediately from the closed form (see add()); only the
+        indel/unknown-score remainder is returned for the LV kernel."""
+        from ..ops.cigar import emit_tokens
         idxs, pats, texts, plens, tlens = [], [], [], [], []
-        L = MAX_READ_LENGTH
+        fast_toks, fast_dists = {}, {}
         for i, (read, result, loc, direction, *_rest) in enumerate(self._items):
             if result == NOT_FOUND or loc in (None, -1, INVALID_GENOME_LOCATION):
                 continue
             tsource = self._items[i][7]
+            score = self._items[i][8]
             seq = read.clipped_seq()
             if direction:
                 seq = COMPLEMENT[np.frombuffer(read.seq, np.uint8)][::-1]
@@ -110,20 +124,29 @@ class SamRecordBuilder:
                 text = src[tloc:tloc + n]
             else:
                 text = self.genome.codes[loc:loc + n]
+            if score is not None and score >= 0:
+                end = min(n, len(text))
+                straight = int((codes[:end] != text[:end]).sum()) + (n - end)
+                if straight == score:
+                    # substitution-only optimum: emit_tokens' straight==e
+                    # branch never touches the DP tables
+                    fast_toks[i] = emit_tokens(codes, text, n, len(text),
+                                               straight, None, None, 0,
+                                               self.use_m)
+                    fast_dists[i] = straight
+                    continue
             idxs.append(i)
             pats.append(codes)
             texts.append(text)
             plens.append(n)
             tlens.append(len(text))
-        return idxs, pats, texts, plens, tlens
+        return idxs, pats, texts, plens, tlens, fast_toks, fast_dists
 
     def flush(self, out) -> int:
         """Compute CIGARs and write all records to `out` (binary file)."""
         if not self._items:
             return 0
-        idxs, pats, texts, plens, tlens = self._cigar_inputs()
-        cigars = {}
-        dists = {}
+        idxs, pats, texts, plens, tlens, cigars, dists = self._cigar_inputs()
         if idxs:
             # round shapes up to fixed buckets so the CIGAR kernel compiles
             # once per bucket rather than once per flush
@@ -166,7 +189,7 @@ class SamRecordBuilder:
     def _fields(self, item, tokens, edit_distance) -> dict:
         """Compute every SAM/BAM field for one record (getSAMData analog,
         SAM.cpp:820-975).  Rendering to text or binary happens in _render."""
-        read, result, loc, direction, mapq, mate, splice, _tsource = item
+        read, result, loc, direction, mapq, mate, splice, _tsource, _score = item
         genome = self.genome
         flags = 0
         rname, pos = None, 0

@@ -500,22 +500,39 @@ class PairedAligner:
         self._dev["piece_starts"] = jnp.asarray(
             index.genome.piece_offsets.astype(np.int32))
         self.genome_size = int(arrs["genome_size"])
+        self._aot = {}   # (B, L, dtypes) -> AOT-cached compiled executable
 
     def align_batch_device(self, reads0, quals0, reads1, quals1):
         B, L = reads0.shape
         positions, wraps = seed_position_schedule(L, self.index.seed_len)
         S = min(self.cfg.max_seed_slots, len(positions))
-        return _paired_align_batch(
+        dyn_args = (
             reads0, quals0, reads1, quals1,
             self._dev["ht_entries"],
             self._dev["shard_start"], self._dev["shard_size"],
             self._dev["overflow"], self._dev["genome_p4"],
             self._dev["piece_starts"],
             jnp.asarray(positions[:S]), jnp.asarray(wraps[:S]),
-            self._cuckoo,
+            self._cuckoo)
+        statics = dict(
             cfg=self.cfg, seed_len=self.index.seed_len, read_len=L,
             genome_size=self.genome_size,
             sched_static=tuple(int(x) for x in positions[:S]))
+        # On TPU, dispatch through the persistent AOT executable cache:
+        # the cold XLA compile of this module is minutes-scale and JAX's
+        # own persistent-cache key is unstable on this host (aot_cache.py).
+        from ..utils.aot_cache import aot_enabled, load_or_compile
+        if aot_enabled():
+            shape_key = (B, L, reads0.dtype, quals0.dtype)
+            compiled = self._aot.get(shape_key)
+            if compiled is None:
+                compiled = load_or_compile(
+                    "paired_align", _paired_align_batch, dyn_args, statics)
+                if compiled is not None:
+                    self._aot[shape_key] = compiled
+            if compiled is not None:
+                return compiled(*dyn_args)
+        return _paired_align_batch(*dyn_args, **statics)
 
     def align_batch(self, reads0, quals0, reads1, quals1) -> dict:
         out = self.align_batch_device(

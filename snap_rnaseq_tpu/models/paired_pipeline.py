@@ -85,15 +85,17 @@ class PairedEndPipeline:
             t0 = time.time()
 
             def emit_pair(r0, r1, res0, loc0, dir0, mq0, res1, loc1, dir1, mq1,
-                          paired, pair_score=0):
+                          paired, pair_score=0, score0=None, score1=None):
                 emit = passes_filter(res0, opt.pass_filter) or \
                     passes_filter(res1, opt.pass_filter)
-                for r, res, loc, d, mq, mate_read, mres, mloc, mdir, first in (
-                        (r0, res0, loc0, dir0, mq0, r1, res1, loc1, dir1, True),
-                        (r1, res1, loc1, dir1, mq1, r0, res0, loc0, dir0, False)):
+                for r, res, loc, d, mq, sc, mate_read, mres, mloc, mdir, first in (
+                        (r0, res0, loc0, dir0, mq0, score0,
+                         r1, res1, loc1, dir1, True),
+                        (r1, res1, loc1, dir1, mq1, score1,
+                         r0, res0, loc0, dir0, False)):
                     if emit:
                         builder.add(r, res, loc if res != NOT_FOUND else -1,
-                                    d, mq,
+                                    d, mq, score=sc,
                                     mate=dict(result=mres,
                                               location=mloc if mres != NOT_FOUND else -1,
                                               direction=mdir, read=mate_read,
@@ -146,7 +148,8 @@ class PairedEndPipeline:
                               int(res["result1"][i]), int(res["loc1"][i]),
                               int(res["dir1"][i]), int(res["mapq1"][i]),
                               bool(res["pair_found"][i]),
-                              int(res["pair_score"][i]))
+                              int(res["pair_score"][i]),
+                              int(res["score0"][i]), int(res["score1"][i]))
                 tw = time.time()
                 builder.flush(out)
                 self.wait.write_s += time.time() - tw

@@ -125,7 +125,8 @@ class SingleEndPipeline:
                     if passes_filter(result, opt.pass_filter):
                         builder.add(r, result,
                                     loc if result != NOT_FOUND else -1,
-                                    direction, mapq)
+                                    direction, mapq,
+                                    score=int(res["score"][i]))
                 tw = time.time()
                 builder.flush(out)
                 self.wait.write_s += time.time() - tw

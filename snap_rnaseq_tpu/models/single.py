@@ -449,8 +449,21 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     # free-prefix / seed-factor terms telescope to exactly that — see
     # _backtrace_prob), and net_indel = 0 so loc_adj = loc.  This removes
     # the large indel-free majority of survivors from the LV kernels (the
-    # hot cost, PERF.md round-3).  Kill-switch: SNAP_TPU_FAST_SUB=0.
+    # hot cost, PERF.md round-3).  Kill-switch: SNAP_TPU_FAST_SUB=0 —
+    # consulted at FIRST TRACE only (like SNAP_TPU_LV_LANES): flipping it
+    # after the engine has jit-compiled in-process has no effect.
     # Piece-boundary rows (clipped text) keep the LV path untouched.
+    #
+    # Accepted deviation (tested: test_fast_sub.py::test_equal_cost_
+    # indel_substitution_tie): when ham == wdist but an equal-cost
+    # indel path ALSO reaches wdist (e.g. 1 ins + 1 del elsewhere vs 2
+    # substitutions), the LV backtrace may pick the indel path and report
+    # a gap-probability logp where this closed form reports the
+    # substitution logp.  score and loc_adj are provably identical (see
+    # the contradiction argument above); only logp (hence MAPQ) can
+    # differ, and only in such degenerate ties.  The reference has the
+    # same ambiguity the other way around (LandauVishkin.h backtrace
+    # order), so neither side is canonically "right".
     E0 = min(3, e_max)
     E1 = min(7, e_max)
 
@@ -576,7 +589,8 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
         overflow = overflow + jnp.maximum(keep.sum() - SBt, 0)
 
     return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok,
-                score_overflow=overflow, n_bucket2=keep2.sum())
+                score_overflow=overflow, n_bucket2=keep2.sum(),
+                n_fast=fast.sum())
 
 
 def replay_phase(u, sc, budget, reads, B, S, cfg: SingleAlignerConfig):
@@ -874,6 +888,7 @@ class SingleAligner:
         self._dev["piece_starts"] = jnp.asarray(
             index.genome.piece_offsets.astype(np.int32))
         self.genome_size = int(arrs["genome_size"])
+        self._aot = {}   # (B, L, dtypes) -> AOT-cached compiled executable
 
     def schedule_for(self, read_len: int):
         positions, wraps = seed_position_schedule(read_len, self.index.seed_len)
@@ -884,18 +899,33 @@ class SingleAligner:
         """Device-to-device: accepts and returns jnp arrays."""
         B, L = reads.shape
         positions, wraps = self.schedule_for(L)
-        return _align_batch(
+        dyn_args = (
             reads, quals,
             self._dev["ht_entries"],
             self._dev["shard_start"], self._dev["shard_size"],
             self._dev["overflow"], self._dev["genome_p4"],
             self._dev["piece_starts"],
             jnp.asarray(positions), jnp.asarray(wraps),
-            self._cuckoo,
+            self._cuckoo)
+        statics = dict(
             cfg=self.cfg.resolve_for_read_len(L),
             seed_len=self.index.seed_len, read_len=L,
             genome_size=self.genome_size,
             sched_static=tuple(int(x) for x in positions))
+        # TPU: persistent AOT executable cache (see models/paired.py and
+        # utils/aot_cache.py for why the jit path is not enough here)
+        from ..utils.aot_cache import aot_enabled, load_or_compile
+        if aot_enabled():
+            shape_key = (B, L, reads.dtype, quals.dtype)
+            compiled = self._aot.get(shape_key)
+            if compiled is None:
+                compiled = load_or_compile(
+                    "single_align", _align_batch, dyn_args, statics)
+                if compiled is not None:
+                    self._aot[shape_key] = compiled
+            if compiled is not None:
+                return compiled(*dyn_args)
+        return _align_batch(*dyn_args, **statics)
 
     def align_batch(self, reads: np.ndarray, quals: np.ndarray) -> dict:
         """reads: (B, L) uint8 base codes (uniform length); quals ASCII."""

@@ -265,7 +265,7 @@ def _end_pipeline(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
                 u_slice, reads_l, quals_l, genome, pieces, cfg, seed_len,
                 read_len, genome_size, B)
             scalars = {k: sc_slice.pop(k)
-                       for k in ("score_overflow", "n_bucket2")}
+                       for k in ("score_overflow", "n_bucket2", "n_fast")}
         else:
             sc_slice = sg.score_phase(u_slice, reads_l, quals_l, genome,
                                       pieces, cfg, seed_len, read_len,

@@ -218,7 +218,8 @@ class RnaSingleEndPipeline(_RnaBase):
                         builder.add(r, res.status,
                                     res.location if res.status != NOT_FOUND else -1,
                                     res.direction, res.mapq,
-                                    splice_rewriter=splice, tsource=tsrc)
+                                    splice_rewriter=splice, tsource=tsrc,
+                                    score=res.score)
                     if res.status == SINGLE_HIT:
                         stats.single_hits += 1
                     elif res.status == MULTIPLE_HITS:
@@ -476,7 +477,8 @@ class RnaPairedEndPipeline(_RnaBase):
                                           direction=m.direction,
                                           read=r1 if first else r0,
                                           first=first),
-                                splice_rewriter=splice, tsource=tsrc)
+                                splice_rewriter=splice, tsource=tsrc,
+                                score=e.score)
                         if e.status == SINGLE_HIT:
                             stats.single_hits += 1
                         elif e.status == MULTIPLE_HITS:

@@ -17,9 +17,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
         path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if path is None:
         # Stable location surviving /tmp recycling between sessions: the
-        # TPU paired-engine executable takes ~5 min to compile cold
-        # (PERF.md round 3), so losing the cache costs real bench budget.
-        for cand in ("/root/bench_cache/jax_cache", "/tmp/snap_tpu_jax_cache"):
+        # TPU paired-engine executable takes ~10 min to compile cold
+        # (PERF.md round 4), so losing the cache costs real bench budget.
+        # The machine-specific /root/bench_cache root is only used when it
+        # already exists (i.e. on the bench host); generic default is /tmp.
+        cands = ["/tmp/snap_tpu_jax_cache"]
+        if os.path.isdir("/root/bench_cache"):
+            cands.insert(0, "/root/bench_cache/jax_cache")
+        for cand in cands:
             try:
                 os.makedirs(cand, exist_ok=True)
                 path = cand

@@ -1,10 +1,10 @@
 """Honest per-phase profile of the engine at the PE bench operating point.
 
 Methodology (PERF.md): N DEPENDENT in-jit iterations per phase, wall/N.
-Each phase body consumes a value derived from the previous iteration's
-output (value-preserving perturbation) so XLA cannot hoist or parallelise
-the iterations; a single block_until_ready at the end amortizes the axon
-tunnel latency.
+Each iteration's inputs pass through a lax.optimization_barrier together
+with the running reduction of the previous iteration's outputs, so XLA
+cannot hoist the phase out of the loop or overlap iterations; a single
+block_until_ready at the end amortizes the axon tunnel latency.
 
 The phases mirror _paired_align_batch's per-end front half + back half on
 real bench data (cached 64Mb index, wgsim reads), with the intermediate
@@ -39,10 +39,11 @@ B = 1024
 READ_LEN = 100
 
 
-def timed(name, fn, args, iters, perturb):
-    """Run fn(*args) iters times inside one jit with a data dependency
-    threaded through `perturb` (index of the arg to perturb; the
-    perturbation is value-preserving: + min(|acc|,0))."""
+def timed(name, fn, args, iters, perturb=None):
+    """Run fn(*args) iters times inside one jit with the iterations chained
+    through lax.optimization_barrier, so XLA can neither hoist fn out of
+    the loop nor overlap iterations.  `perturb` is accepted for call-site
+    compatibility and unused (the barrier covers every arg)."""
 
     @jax.jit
     def loop(args):
@@ -53,9 +54,12 @@ def timed(name, fn, args, iters, perturb):
             s = sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves
                     if jnp.issubdtype(x.dtype, jnp.number))
             acc = acc + s
-            bump = jnp.minimum(jnp.abs(acc), 0.0)
-            a = list(a)
-            a[perturb] = a[perturb] + bump.astype(a[perturb].dtype)
+            # optimization_barrier ties the next iteration's inputs to this
+            # iteration's reduction: XLA cannot hoist fn out of the loop or
+            # overlap iterations through the barrier.  (The previous
+            # formulation added `min(|acc|, 0)` to an input, which is
+            # mathematically always 0 and foldable — see ADVICE.md r3.)
+            acc, a = jax.lax.optimization_barrier((acc, tuple(a)))
             return acc, tuple(a)
         acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), args))
         return acc
