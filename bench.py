@@ -276,8 +276,8 @@ def _e2e_extra(index, pe_batches, paired):
                     f1.write(rid + b"/2\n" + decode_bases(r1[i]) + b"\n+\n"
                              + bytes(q1[i] + 33) + b"\n")
         pipe = PairedEndPipeline(
-            index, options=PairedPipelineOptions(batch_size=BATCH_PAIRS))
-        pipe.aligner = _STATE.get("paired_aligner") or pipe.aligner
+            index, options=PairedPipelineOptions(batch_size=BATCH_PAIRS),
+            aligner=_STATE.get("paired_aligner"))
         t0 = time.time()
         stats = pipe.run(f"{td}/r1.fq", f"{td}/r2.fq", f"{td}/out.sam")
         dt = time.time() - t0

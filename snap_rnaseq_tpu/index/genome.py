@@ -17,6 +17,7 @@ another piece's bases (padding never matches any read base).
 """
 from __future__ import annotations
 
+import bisect
 import io
 import json
 import os
@@ -41,6 +42,10 @@ class Genome:
         self.piece_offsets = np.asarray(self.piece_offsets, dtype=np.int64)
         if not self._name_to_index:
             self._name_to_index = {n: i for i, n in enumerate(self.piece_names)}
+        # plain-list copy for the scalar bisect fast path (piece_index_at is
+        # called once per emitted record; numpy scalar searchsorted overhead
+        # dominated the SAM write path)
+        self._offsets_list = [int(x) for x in self.piece_offsets]
 
     @property
     def num_bases(self) -> int:
@@ -51,11 +56,14 @@ class Genome:
         return len(self.piece_names)
 
     def piece_index_at(self, location) -> np.ndarray:
-        """Index of the piece containing each location (vectorized).
+        """Index of the piece containing each location (scalar or vector).
 
         A location inside the padding that precedes piece i+1 belongs to piece
         i, matching the reference's getPieceAtLocation semantics.
         """
+        if isinstance(location, (int, np.integer)):
+            idx = bisect.bisect_right(self._offsets_list, int(location)) - 1
+            return min(max(idx, 0), self.num_pieces - 1)
         return np.clip(
             np.searchsorted(self.piece_offsets, np.asarray(location), side="right") - 1,
             0, self.num_pieces - 1)

@@ -133,7 +133,7 @@ def _dense_per_read(u, sc, in_prob_flags, B, K):
 
 def _mate_rescue_end(d_e, d_m, reads_e, quals_e, genome_p4, piece_starts,
                      ecfg, cfg: PairedAlignerConfig, read_len, genome_size,
-                     B):
+                     B, qlp_e=None):
     """One rescued candidate for end e from its mate's top candidates.
 
     For each of the mate's top `rescue_mates` scored candidates, scan the
@@ -213,7 +213,7 @@ def _mate_rescue_end(d_e, d_m, reads_e, quals_e, genome_p4, piece_starts,
                loc=jnp.where(valid, loc_best, 0),
                off=jnp.zeros((B,), jnp.int32), live=valid)
     sc = sg.score_phase(u_r, reads_e, quals_e, genome_p4, piece_starts,
-                        ecfg, 0, read_len, genome_size)
+                        ecfg, 0, read_len, genome_size, qlp_both=qlp_e)
     keep = valid & sc["scored_ok"]
     return dict(loc=jnp.where(keep, sc["loc_adj"], 0)[:, None],
                 dir=dir_best[:, None],
@@ -318,98 +318,134 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
     B = reads0.shape[0]
     S = schedule.shape[0]
     ecfg = cfg.end_config()
-    ends = []
-    for reads, quals in ((reads0, quals0), (reads1, quals1)):
-        seeds = sg.seed_phase(reads, schedule, seed_len, ht_entries,
-                              shard_start, shard_size, overflow,
-                              genome_size, sched_static, cuckoo)
-        cg = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
-        budget = sg.budget_phase(seeds["valid"], cg, wraps, ecfg)
-        def back_half(u_full, compact_per_read, score_scale=1):
-            """Same tier-ladder as the single engine's _align_batch: all
-            post-aggregation phases scale with the compact width, results
-            are bit-identical whenever the live candidates fit the tier;
-            score_scale widens the pooled scoring budgets in the wide
-            expand tier (see single.back_half)."""
-            tcfg = ecfg if compact_per_read == ecfg.compact_per_read else \
-                sg.SingleAlignerConfig(**{**ecfg.__dict__,
-                                          "compact_per_read":
-                                          compact_per_read})
-            s_cfg = ecfg if score_scale == 1 else sg.SingleAlignerConfig(
-                **{**ecfg.__dict__,
-                   "score_budget_per_read": ecfg.score_budget_per_read
-                   * score_scale})
-            u, _ = sg.compact_phase(u_full, B, tcfg)
-            if ecfg.score_budget_per_read > 0:
-                sc = sg.filtered_score_phase(u, reads, quals, genome_p4,
-                                             piece_starts, s_cfg, seed_len,
-                                             read_len, genome_size, B)
-            else:
-                sc = sg.score_phase(u, reads, quals, genome_p4, piece_starts,
-                                    ecfg, seed_len, read_len, genome_size)
-            single_out = sg.replay_phase(u, sc, budget, reads, B, S, ecfg)
-            # cluster-representative flags for the probability mass: reuse
-            # the replay's final-limit filter by recomputing in_prob cheaply
-            dense = _dense_per_read(u, sc, sc["scored_ok"], B,
-                                    ecfg.cand_per_read)
-            return dict(dense=dense, single=single_out,
-                        n_scored=sc["scored_ok"].sum(),
-                        score_overflow=sc.get("score_overflow",
-                                              jnp.int32(0)))
+    # BOTH ENDS IN ONE PIPELINE: the per-end phase graph used to run twice
+    # (two lax.conds of ~24 ms each on v5e, round-4 device profile), and a
+    # large share of that is per-op fixed overhead across ~800 small
+    # fusions.  Concatenating the ends (rows 0..B-1 = end 0, B..2B-1 =
+    # end 1) runs every phase once at 2B rows: data-bound ops cost the
+    # same total, overhead-bound ops cost half.  All phases are row-
+    # independent; the pooled tier/budget caps now span both ends (the
+    # same cross-READ pooling approximation the engine already makes,
+    # at 2x scale — overflow counters still observe any truncation).
+    reads_cat = jnp.concatenate([reads0, reads1], axis=0)
+    quals_cat = jnp.concatenate([quals0, quals1], axis=0)
+    B2 = 2 * B
+    # one phred-table gather per batch, shared by every scoring site (the
+    # tier conds and the per-end rescue would otherwise each pay their own
+    # — see filtered_score_phase's qlp_both note)
+    qlp_cat = jnp.asarray(sg.PHRED_LOG_PROB)[
+        jnp.stack([quals_cat, quals_cat[:, ::-1]], axis=1).astype(jnp.int32)]
+    seeds = sg.seed_phase(reads_cat, schedule, seed_len, ht_entries,
+                          shard_start, shard_size, overflow,
+                          genome_size, sched_static, cuckoo)
+    cg = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
+    budget = sg.budget_phase(seeds["valid"], cg, wraps, ecfg)
 
-        def from_cands(cands, compact_big, score_scale=1):
-            u_full = sg.aggregate_phase(cands)
-            if compact_big > 0:
-                small = max(4, compact_big // 4)
-                if small < compact_big:
-                    eo = jax.lax.cond(
-                        u_full["live"].sum() <= B * small,
-                        lambda uu: back_half(uu, small, score_scale),
-                        lambda uu: back_half(uu, compact_big, score_scale),
-                        u_full)
-                else:
-                    eo = back_half(u_full, compact_big, score_scale)
-            else:
-                sc = sg.score_phase(u_full, reads, quals, genome_p4,
-                                    piece_starts, ecfg, seed_len, read_len,
-                                    genome_size)
-                single_out = sg.replay_phase(u_full, sc, budget, reads, B,
-                                             S, ecfg)
-                eo = dict(dense=_dense_per_read(u_full, sc, sc["scored_ok"],
-                                                B, ecfg.cand_per_read),
-                          single=single_out,
-                          n_scored=sc["scored_ok"].sum(),
-                          score_overflow=jnp.int32(0))
-            # residual truncation of the tier that actually ran
-            eo["truncated"] = cands["truncated"]
-            eo["n_candidates"] = cands["live"].sum()
-            return eo
-
-        cands = sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
-                                seed_len, read_len, ecfg.cand_per_read)
-        if (ecfg.overflow_tier and ecfg.cand_per_read > 0
-                and ecfg.compact_per_read > 0):
-            # candidate-overflow exact fallback (see single._align_batch):
-            # 4x re-expand when the narrow tier truncated any hit list
-            eo = jax.lax.cond(
-                cands["truncated"].sum() > 0,
-                lambda c: from_cands(
-                    sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
-                                    seed_len, read_len,
-                                    4 * ecfg.cand_per_read),
-                    4 * ecfg.compact_per_read, score_scale=4),
-                lambda c: from_cands(c, ecfg.compact_per_read),
-                cands)
+    def back_half(u_full, compact_per_read, score_scale=1):
+        """Same tier-ladder as the single engine's _align_batch: all
+        post-aggregation phases scale with the compact width, results
+        are bit-identical whenever the live candidates fit the tier;
+        score_scale widens the pooled scoring budgets in the wide
+        expand tier (see single.back_half)."""
+        tcfg = ecfg if compact_per_read == ecfg.compact_per_read else \
+            sg.SingleAlignerConfig(**{**ecfg.__dict__,
+                                      "compact_per_read":
+                                      compact_per_read})
+        s_cfg = ecfg if score_scale == 1 else sg.SingleAlignerConfig(
+            **{**ecfg.__dict__,
+               "score_budget_per_read": ecfg.score_budget_per_read
+               * score_scale})
+        u, _ = sg.compact_phase(u_full, B2, tcfg)
+        if ecfg.score_budget_per_read > 0:
+            sc = sg.filtered_score_phase(u, reads_cat, quals_cat, genome_p4,
+                                         piece_starts, s_cfg, seed_len,
+                                         read_len, genome_size, B2,
+                                         qlp_both=qlp_cat)
         else:
-            eo = from_cands(cands, ecfg.compact_per_read)
-        ends.append(dict(dense=eo["dense"], single=eo["single"],
-                         popular=eo["single"]["popular"],
-                         truncated=eo["truncated"],
-                         n_lookups=seeds["found"].sum(),
-                         n_candidates=eo["n_candidates"],
-                         n_scored=eo["n_scored"],
-                         score_overflow=eo["score_overflow"],
-                         dense_overflow=eo["dense"]["overflow"]))
+            sc = sg.score_phase(u, reads_cat, quals_cat, genome_p4,
+                                piece_starts, ecfg, seed_len, read_len,
+                                genome_size)
+        single_out = sg.replay_phase(u, sc, budget, reads_cat, B2, S, ecfg)
+        # cluster-representative flags for the probability mass: reuse
+        # the replay's final-limit filter by recomputing in_prob cheaply
+        dense = _dense_per_read(u, sc, sc["scored_ok"], B2,
+                                ecfg.cand_per_read)
+        end1_row = u["read"] >= B
+        return dict(dense=dense, single=single_out,
+                    n_scored0=(sc["scored_ok"] & ~end1_row).sum(),
+                    n_scored1=(sc["scored_ok"] & end1_row).sum(),
+                    score_overflow=sc.get("score_overflow",
+                                          jnp.int32(0)))
+
+    def from_cands(cands, compact_big, score_scale=1):
+        u_full = sg.aggregate_phase(cands)
+        if compact_big > 0:
+            small = max(4, compact_big // 4)
+            if small < compact_big:
+                eo = jax.lax.cond(
+                    u_full["live"].sum() <= B2 * small,
+                    lambda uu: back_half(uu, small, score_scale),
+                    lambda uu: back_half(uu, compact_big, score_scale),
+                    u_full)
+            else:
+                eo = back_half(u_full, compact_big, score_scale)
+        else:
+            sc = sg.score_phase(u_full, reads_cat, quals_cat, genome_p4,
+                                piece_starts, ecfg, seed_len, read_len,
+                                genome_size)
+            single_out = sg.replay_phase(u_full, sc, budget, reads_cat, B2,
+                                         S, ecfg)
+            end1_row = u_full["read"] >= B
+            eo = dict(dense=_dense_per_read(u_full, sc, sc["scored_ok"],
+                                            B2, ecfg.cand_per_read),
+                      single=single_out,
+                      n_scored0=(sc["scored_ok"] & ~end1_row).sum(),
+                      n_scored1=(sc["scored_ok"] & end1_row).sum(),
+                      score_overflow=jnp.int32(0))
+        # residual truncation of the tier that actually ran
+        eo["truncated"] = cands["truncated"]
+        eo["n_cand0"] = cands["live"][:B].sum()
+        eo["n_cand1"] = cands["live"][B:].sum()
+        return eo
+
+    cands = sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
+                            seed_len, read_len, ecfg.cand_per_read)
+    if (ecfg.overflow_tier and ecfg.cand_per_read > 0
+            and ecfg.compact_per_read > 0):
+        # candidate-overflow exact fallback (see single._align_batch):
+        # 4x re-expand when the narrow tier truncated any hit list
+        eo = jax.lax.cond(
+            cands["truncated"].sum() > 0,
+            lambda c: from_cands(
+                sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
+                                seed_len, read_len,
+                                4 * ecfg.cand_per_read),
+                4 * ecfg.compact_per_read, score_scale=4),
+            lambda c: from_cands(c, ecfg.compact_per_read),
+            cands)
+    else:
+        eo = from_cands(cands, ecfg.compact_per_read)
+
+    # split the concatenated outputs back into per-end views; pooled
+    # scalar counters (score_overflow, dense overflow) are attributed to
+    # end 0 so the pipeline's summed stats stay exact
+    ends = []
+    for e in (0, 1):
+        rows_e = slice(e * B, (e + 1) * B)
+        dense_e = {k: (v[rows_e] if getattr(v, "ndim", 0) >= 1 else v)
+                   for k, v in eo["dense"].items()}
+        dense_e["overflow"] = (eo["dense"]["overflow"] if e == 0
+                               else jnp.int32(0))
+        single_e = {k: v[rows_e] for k, v in eo["single"].items()}
+        ends.append(dict(dense=dense_e, single=single_e,
+                         popular=single_e["popular"],
+                         truncated=eo["truncated"][rows_e],
+                         n_lookups=seeds["found"][rows_e].sum(),
+                         n_candidates=eo[f"n_cand{e}"],
+                         n_scored=eo[f"n_scored{e}"],
+                         score_overflow=(eo["score_overflow"] if e == 0
+                                         else jnp.int32(0)),
+                         dense_overflow=dense_e["overflow"]))
 
     if cfg.mate_rescue and cfg.rescue_mates > 0:
         # both rescues read the PRE-append mate dense sets
@@ -419,7 +455,7 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
             rrs.append(_mate_rescue_end(
                 ends[e]["dense"], ends[1 - e]["dense"], reads_e, quals_e,
                 genome_p4, piece_starts, ecfg, cfg, read_len, genome_size,
-                B))
+                B, qlp_e=qlp_cat[e * B:(e + 1) * B]))
         for e in (0, 1):
             ends[e]["dense"] = _append_dense(ends[e]["dense"], rrs[e])
             ends[e]["n_rescued"] = rrs[e]["n_rescued"]

@@ -59,13 +59,18 @@ class PairedPipelineOptions:
 
 class PairedEndPipeline:
     def __init__(self, index: GenomeIndex, config: PairedAlignerConfig | None = None,
-                 options: PairedPipelineOptions | None = None, **aligner_overrides):
+                 options: PairedPipelineOptions | None = None,
+                 aligner: PairedAligner | None = None, **aligner_overrides):
         self.index = index
         self.opt = options or PairedPipelineOptions()
-        self.aligner = PairedAligner(index, config,
-                                     min_spacing=self.opt.min_spacing,
-                                     max_spacing=self.opt.max_spacing,
-                                     **aligner_overrides)
+        # aligner: reuse an already-constructed (device-resident, possibly
+        # AOT-warm) engine — constructing a fresh one re-uploads the index
+        # arrays to HBM, which costs real seconds through the axon tunnel
+        self.aligner = aligner or PairedAligner(
+            index, config,
+            min_spacing=self.opt.min_spacing,
+            max_spacing=self.opt.max_spacing,
+            **aligner_overrides)
         self.stats = PairedAlignerStats()
         self.wait = WaitProfile()
 

@@ -58,9 +58,12 @@ class SingleEndPipeline:
     """Genome-only single-end alignment: FASTQ(.gz) -> SAM."""
 
     def __init__(self, index: GenomeIndex, aligner_config: SingleAlignerConfig | None = None,
-                 options: PipelineOptions | None = None, **aligner_overrides):
+                 options: PipelineOptions | None = None,
+                 aligner: SingleAligner | None = None, **aligner_overrides):
         self.index = index
-        self.aligner = SingleAligner(index, aligner_config, **aligner_overrides)
+        # aligner: reuse a device-resident engine (see PairedEndPipeline)
+        self.aligner = aligner or SingleAligner(index, aligner_config,
+                                                **aligner_overrides)
         self.opt = options or PipelineOptions()
         self.stats = AlignerStats()
         self.wait = WaitProfile()

@@ -107,6 +107,31 @@ def _segment_ids(boundary: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumsum(boundary.astype(jnp.int32)) - 1
 
 
+def row_select(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis(table, idx, axis=1) for a SMALL per-row table.
+
+    table: (B, G) with G small (seed groups, ~64); idx: (B, W).  The
+    one-hot compare + masked sum is exact (exactly one term per output)
+    and fuses into one VPU reduction, while XLA's generic gather lowering
+    costs ~8 ns/element on TPU (~2.2 ms per (2048, 128) gather in the
+    round-4 device profile)."""
+    G = table.shape[1]
+    onehot = idx[:, :, None] == jnp.arange(G, dtype=idx.dtype)[None, None, :]
+    return jnp.where(onehot, table[:, None, :], 0).sum(
+        axis=2, dtype=table.dtype)
+
+
+def piece_index_of(piece_starts: jnp.ndarray, loc: jnp.ndarray) -> jnp.ndarray:
+    """searchsorted(piece_starts, loc, 'right') - 1, clipped — as one
+    broadcast compare-and-sum.  The piece table is tiny (#chromosomes), so
+    the O(C * n_pieces) compare beats jnp.searchsorted's while-loop binary
+    search lowering by ~10x on TPU (round-4 device profile)."""
+    n = piece_starts.shape[0]
+    idx = (piece_starts[None, :] <= loc[:, None]).sum(
+        axis=1, dtype=jnp.int32) - 1
+    return jnp.clip(idx, 0, n - 1)
+
+
 # ----------------------------------------------------------------------
 # phases
 # ----------------------------------------------------------------------
@@ -211,19 +236,24 @@ def expand_phase(seeds, budget, schedule, overflow, cfg, seed_len, read_len,
     cum = jnp.cumsum(used_sorted, axis=1)
     total = cum[:, -1]
     slots = jnp.arange(CPR, dtype=jnp.int32)
-    spos = jax.vmap(lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
+    # searchsorted(cum, slots, 'right') == #{j: cum[j] <= slot}; the
+    # broadcast compare-and-sum is one VPU reduction over 64 groups, while
+    # vmapped searchsorted lowers to a 7-iteration while loop that cost
+    # 7.6 ms/batch/end on v5e (top-3 op in the round-4 device profile)
+    spos = (cum[:, :, None] <= slots[None, None, :]).sum(
+        axis=1, dtype=jnp.int32)
     spos = jnp.minimum(spos, S * 2 - 1).astype(jnp.int32)
-    group = jnp.take_along_axis(perm, spos, axis=1)   # original group ids
+    group = row_select(perm, spos)                    # original group ids
     cand_live = slots[None, :] < jnp.minimum(total, CPR)[:, None]
     n_truncated = jnp.maximum(total - CPR, 0)
 
     prev_cum = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cum[:, :-1]], axis=1)
-    within = slots[None, :] - jnp.take_along_axis(prev_cum, spos, axis=1)
+    within = slots[None, :] - row_select(prev_cum, spos)
 
     s_idx = group // 2
     dir_idx = group % 2
-    g_base = jnp.take_along_axis(bases.reshape(B, S * 2), group, axis=1)
-    g_val = jnp.take_along_axis(vals.reshape(B, S * 2), group, axis=1)
+    g_base = row_select(bases.reshape(B, S * 2), group)
+    g_val = row_select(vals.reshape(B, S * 2), group)
     hit = lk.gather_hit(within, None, g_base, g_val, overflow)
 
     pos_at = schedule[s_idx]
@@ -231,7 +261,7 @@ def expand_phase(seeds, budget, schedule, overflow, cfg, seed_len, read_len,
     cand_loc = (hit - offset.astype(jnp.uint32)).astype(jnp.int32)
     cand_live = cand_live & (hit >= offset.astype(jnp.uint32))
     order = (group << 16) | jnp.minimum(within, 0xFFFF)
-    lp_at = jnp.take_along_axis(budget["lp_pre"].reshape(B, S * 2), group, axis=1)
+    lp_at = row_select(budget["lp_pre"].reshape(B, S * 2), group)
 
     read_id = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, CPR))
     return dict(read=read_id, dir=dir_idx,
@@ -294,7 +324,8 @@ def aggregate_phase(c):
 
 def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
                 read_len, genome_size, band: int | None = None,
-                window: jnp.ndarray | None = None):
+                window: jnp.ndarray | None = None,
+                qlp_both: jnp.ndarray | None = None):
     """Two batched LV calls per unique candidate; log-space probabilities.
 
     Matches the scoring block of BaseAligner.cpp:1150-1260 including the
@@ -309,16 +340,20 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     gate = cfg.e_max
     C = u["read"].shape[0]
     rc_reads = COMP_LUT[reads[:, ::-1].astype(jnp.int32)]
-    rc_quals = quals[:, ::-1]
     read_both = jnp.stack([reads, rc_reads], axis=1)
-    qual_both = jnp.stack([quals, rc_quals], axis=1)
+    if qlp_both is None:
+        # (B, 2, P) u8 quality rows; the LV backend gathers the phred
+        # table itself.  Callers that score repeatedly (filtered tiers)
+        # pass qlp_both — the pre-gathered f32 log-prob rows — instead.
+        qual_both = jnp.stack([quals, quals[:, ::-1]], axis=1)
+    else:
+        qual_both = qlp_both
 
     so = jnp.where(u["live"], u["off"], 0)
     tail = so + seed_len
     loc_c = jnp.where(u["live"], u["loc"], 0)
 
-    pidx = jnp.clip(jnp.searchsorted(piece_starts, loc_c, side="right") - 1,
-                    0, piece_starts.shape[0] - 1)
+    pidx = piece_index_of(piece_starts, loc_c)
     next_start = jnp.where(
         pidx + 1 < piece_starts.shape[0],
         piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
@@ -406,7 +441,8 @@ def compact_phase(u, B, cfg):
 
 
 def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
-                         seed_len, read_len, genome_size, B):
+                         seed_len, read_len, genome_size, B,
+                         qlp_both: jnp.ndarray | None = None):
     """Two-stage scoring: bit-parallel whole-read distances for every
     candidate slot (ops/bitpar.py), then full LV + backtrace only on a
     compacted budget of survivors.
@@ -473,11 +509,22 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     scored_ok = jnp.zeros((C,), bool)
     overflow = jnp.int32(0)
 
+    # Phred-to-log-prob ONCE at read scale: gathering the 256-entry float
+    # table per (candidate, base) was the single hottest op in the engine
+    # (26.9 ms/batch/end for the f32[3.28M] elementwise table gather on
+    # v5e — tiny-table gathers lower to per-element dynamic slices).  The
+    # (B, 2, P) pre-gather serves the fast path's row gathers AND the LV
+    # buckets (score_phase receives it as qlp_both, lv.py skips its own
+    # table gather on f32 input) — arithmetic identical, ~1/10 the cost.
+    # Callers that invoke this phase from inside lax.cond tiers pass a
+    # hoisted qlp_both so the gather runs once per batch, not per branch.
+    if qlp_both is None:
+        qual_both = jnp.stack([quals, quals[:, ::-1]], axis=1)
+        qlp_both = jnp.asarray(PHRED_LOG_PROB)[qual_both.astype(jnp.int32)]
+
     fast = jnp.zeros((C,), bool)
     if os.environ.get("SNAP_TPU_FAST_SUB", "1") != "0":
-        pidx = jnp.clip(
-            jnp.searchsorted(piece_starts, loc_c, side="right") - 1,
-            0, piece_starts.shape[0] - 1)
+        pidx = piece_index_of(piece_starts, loc_c)
         next_start = jnp.where(
             pidx + 1 < piece_starts.shape[0],
             piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
@@ -488,10 +535,7 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
         mm = sel != text0
         ham = mm.sum(axis=1).astype(jnp.int32)
         fast = live & ~crosses & (wdist <= e_max) & (ham == wdist)
-        rc_quals = quals[:, ::-1]
-        qual_both = jnp.stack([quals, rc_quals], axis=1)
-        selq = qual_both[u["read"], u["dir"]]
-        qlp = jnp.asarray(PHRED_LOG_PROB)[selq.astype(jnp.int32)]
+        qlp = qlp_both[u["read"], u["dir"]]
         logp_f = (jnp.where(mm, qlp, 0.0).sum(axis=1)
                   + (read_len - ham).astype(jnp.float32)
                   * LOG_ONE_MINUS_SNP)
@@ -517,7 +561,7 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
         u_sub["live"] = u_sub["live"] & keep[chosen]
         sc_sub = score_phase(u_sub, reads, quals, genome_p4, piece_starts,
                              cfg, seed_len, read_len, genome_size, band=band,
-                             window=window[chosen])
+                             window=window[chosen], qlp_both=qlp_both)
         score = score.at[chosen].set(
             jnp.where(u_sub["live"], sc_sub["score"], score[chosen]))
         logp = logp.at[chosen].set(

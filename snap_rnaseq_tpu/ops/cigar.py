@@ -16,7 +16,10 @@ The SAM writer wraps the result with soft-clip tokens.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..constants import MAX_K
@@ -25,13 +28,35 @@ from .lv import ACT_D, ACT_I, ACT_X, lv_distance
 _ACT_CHAR = {ACT_X: "X", ACT_D: "D", ACT_I: "I"}
 
 
+@functools.partial(jax.jit, static_argnames=("e_max",))
+def _lv_cigar_jit(pattern, p_len, text, t_len, k, *, e_max: int):
+    return lv_distance(pattern, p_len, text, t_len, k, None,
+                       e_max=e_max, cigar_order=True, keep_tables=True)
+
+
+_cigar_aot: dict = {}
+
+
 def lv_cigar_device(pattern, p_len, text, t_len, k, *, e_max: int):
     """Run the CIGAR-variant LV on device; returns the LVResult with
-    backtrace arrays kept."""
-    return lv_distance(jnp.asarray(pattern), jnp.asarray(p_len),
-                       jnp.asarray(text), jnp.asarray(t_len),
-                       jnp.asarray(k), None,
-                       e_max=e_max, cigar_order=True, keep_tables=True)
+    backtrace arrays kept.  On TPU the compiled executable goes through
+    the persistent AOT cache (utils/aot_cache.py) — the host pipelines
+    call this once per output batch and a cold tunnel compile otherwise
+    lands in the middle of the write path."""
+    args = (jnp.asarray(pattern), jnp.asarray(p_len), jnp.asarray(text),
+            jnp.asarray(t_len), jnp.asarray(k))
+    from ..utils.aot_cache import aot_enabled, load_or_compile
+    if aot_enabled():
+        key = (args[0].shape, args[0].dtype, e_max)
+        compiled = _cigar_aot.get(key)
+        if compiled is None:
+            compiled = load_or_compile("cigar", _lv_cigar_jit, args,
+                                       {"e_max": e_max})
+            if compiled is not None:
+                _cigar_aot[key] = compiled
+        if compiled is not None:
+            return compiled(*args)
+    return _lv_cigar_jit(*args, e_max=e_max)
 
 
 def _push(tokens: list, count: int, op: str):

@@ -157,6 +157,10 @@ def _lv_distance_pallas(pattern, p_len, text, t_len, k, quality=None,
          jnp.full((B, e_max + P), 255, jnp.int32)], axis=1)
     if quality is None:
         qual_logp = jnp.full((B, P), PHRED_LOG_PROB[33 + 93], jnp.float32)
+    elif quality.dtype == jnp.float32:
+        # pre-gathered log-probs (callers hoist the 256-entry table gather
+        # to read level — elementwise tiny-table gathers are slow on TPU)
+        qual_logp = quality
     else:
         qual_logp = jnp.asarray(PHRED_LOG_PROB)[quality.astype(jnp.int32)]
     if keep_tables:
@@ -390,6 +394,8 @@ def _backtrace_prob(pattern, p_len, quality, L_all, A_all, e_fin, d_fin, e_max):
 
     if quality is None:
         qual_logp = jnp.full(pattern.shape, PHRED_LOG_PROB[33 + 93], jnp.float32)
+    elif quality.dtype == jnp.float32:
+        qual_logp = quality       # pre-gathered log-probs (see pallas path)
     else:
         table = jnp.asarray(PHRED_LOG_PROB)
         qual_logp = table[quality.astype(jnp.int32)]

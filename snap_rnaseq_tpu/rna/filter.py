@@ -492,17 +492,18 @@ def _characterize_batch_jit():
         cum = jnp.cumsum(used2, axis=1)
         total = cum[:, -1]
         slots = jnp.arange(cpr, dtype=jnp.int32)
-        group = jax.vmap(
-            lambda c: jnp.searchsorted(c, slots, side="right"))(cum)
+        # broadcast compare-and-sum == vmapped searchsorted 'right', minus
+        # its slow while-loop lowering (see models/single.py expand_phase)
+        group = (cum[:, :, None] <= slots[None, None, :]).sum(
+            axis=1, dtype=jnp.int32)
         group = jnp.minimum(group, S2 - 1).astype(jnp.int32)
         live = slots[None, :] < jnp.minimum(total, cpr)[:, None]
         prev = jnp.concatenate(
             [jnp.zeros((B, 1), cum.dtype), cum[:, :-1]], axis=1)
-        within = slots[None, :] - jnp.take_along_axis(prev, group, axis=1)
-        g_base = jnp.take_along_axis(
-            jnp.concatenate([bf, br], axis=1), group, axis=1)
-        g_val = jnp.take_along_axis(
-            jnp.concatenate([fv, rv], axis=1), group, axis=1)
+        from ..models.single import row_select
+        within = slots[None, :] - row_select(prev, group)
+        g_base = row_select(jnp.concatenate([bf, br], axis=1), group)
+        g_val = row_select(jnp.concatenate([fv, rv], axis=1), group)
         hit = lk.gather_hit(within, None, g_base, g_val, overflow)
         s_idx = jnp.where(group < S, group, group - S)
         is_rc = group >= S

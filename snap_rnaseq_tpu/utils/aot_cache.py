@@ -37,17 +37,21 @@ _PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # part of the program identity
 _TRACE_ENV_VARS = ("SNAP_TPU_LV_LANES", "SNAP_TPU_LV_TILE",
                    "SNAP_TPU_FAST_SUB", "SNAP_TPU_LOOKUP",
-                   "SNAP_TPU_TRUNC_MASS")
+                   "SNAP_TPU_TRUNC_MASS", "SNAP_TPU_LV")
 
 _source_digest_cache = None
 
 
 # Subtrees/files whose code can appear inside a traced program.  Host-only
-# code (io/, cli, writers, async stages, this module) is excluded so
-# editing it does not invalidate warmed executables.
+# code (io/, cli, writers, async stages, pipeline orchestration, this
+# module) is excluded so editing it does not invalidate warmed executables.
 _TRACED_SUBDIRS = ("models", "ops", "index", "parallel", "rna")
 _TRACED_FILES = ("constants.py", os.path.join("utils", "seed_sequencer.py"),
                  os.path.join("utils", "tables.py"))
+# host-side orchestration living inside the traced subtrees
+_UNTRACED_FILES = {os.path.join("models", "pipeline.py"),
+                   os.path.join("models", "paired_pipeline.py"),
+                   os.path.join("rna", "pipeline.py")}
 
 
 def source_digest() -> str:
@@ -64,6 +68,8 @@ def source_digest() -> str:
                              for fn in sorted(filenames)
                              if fn.endswith(".py"))
         for p in paths:
+            if os.path.relpath(p, _PKG_ROOT) in _UNTRACED_FILES:
+                continue
             if os.path.exists(p):
                 h.update(os.path.relpath(p, _PKG_ROOT).encode())
                 with open(p, "rb") as f:
