@@ -282,12 +282,29 @@ def aggregate_phase(c):
     ~W log^2 W vs C log^2 C comparator stages.  All downstream segment
     reductions are order-invariant within a (read, dir, loc) group, so the
     within-group order key the global sort had is unnecessary."""
-    ops = (c["dir"], c["loc"], c["read"], c["order"], c["offset"], c["lp"],
-           c["round"], c["live"].astype(jnp.int32))
-    d_, l_, r_, o_, off_, lp_, rd_, live_i = (
-        x.reshape(-1) for x in jax.lax.sort(ops, dimension=1, num_keys=2,
-                                            is_stable=False))
-    live_ = live_i.astype(bool)
+    # Pack the sort down to one u32 key + three payloads: every operand
+    # rides through ~log^2(W) comparator stages, so fewer/narrower
+    # operands are a direct win.  Key = dir<<31 | loc reproduces the
+    # (dir, loc) lexicographic order exactly (loc < 2^31 for single-chip
+    # genomes; dead rows carry loc=BIG and sort to each dir group's
+    # tail, as before).  read is constant per row — recomputed, not
+    # sorted.  (order, live) and (round, offset) share lanes: order
+    # uses 22 bits (group<<16|within), round < 64, offset < 1024.
+    rows, W = c["dir"].shape
+    ukey = (c["dir"].astype(jnp.uint32) << 31) | c["loc"].astype(jnp.uint32)
+    p_ord = c["order"] | (c["live"].astype(jnp.int32) << 30)
+    p_ro = (c["round"] << 10) | c["offset"]
+    ukey, p_ord, p_ro, lp_ = (
+        x.reshape(-1) for x in jax.lax.sort(
+            (ukey, p_ord, p_ro, c["lp"]), dimension=1, num_keys=1,
+            is_stable=False))
+    d_ = (ukey >> 31).astype(jnp.int32)
+    l_ = (ukey & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    o_ = p_ord & jnp.int32(0x3FFFFFFF)
+    live_ = (p_ord >> 30) > 0
+    rd_ = p_ro >> 10
+    off_ = p_ro & jnp.int32(0x3FF)
+    r_ = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), W)
     C = r_.shape[0]
 
     elem_loc = l_ - l_ % MAX_MERGE_DIST
