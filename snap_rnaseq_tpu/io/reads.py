@@ -82,9 +82,15 @@ def quality_filter(read: Read,
     return ok * 100.0 >= min_percent * q.size
 
 
+_ACGT_BYTES = (b"A", b"G", b"C", b"T", b"a", b"g", b"c", b"t")
+
+
 def count_ns(read: Read) -> int:
-    codes = BASE_VALUE[np.frombuffer(read.clipped_seq(), np.uint8)]
-    return int((codes >= 4).sum())
+    """Bases that do NOT code to A/G/C/T (BASE_VALUE >= 4: N and every
+    other byte).  bytes.count is ~25x cheaper than the numpy translate for
+    a 100bp read, and this runs once per read on the reader thread."""
+    s = read.clipped_seq()
+    return len(s) - sum(s.count(c) for c in _ACGT_BYTES)
 
 
 @dataclass
