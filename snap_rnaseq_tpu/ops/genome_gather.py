@@ -20,17 +20,21 @@ import jax.numpy as jnp
 import numpy as np
 
 BASES_PER_WORD = 8   # 4 bits per base code in a uint32
+ROW_WORDS = 128      # words per aligned gather row (one register lane row)
+_PAD_WORD = np.uint32(0x55555555)   # eight padding nibbles (code 5)
 
 
 def pack_genome_4bit(codes: np.ndarray) -> np.ndarray:
     """Host-side: uint8 base codes -> uint32 words, 8 bases each, little-
-    endian by base (base i of word w = bits [4i, 4i+4))."""
+    endian by base (base i of word w = bits [4i, 4i+4)).  The word count
+    is padded to a ROW_WORDS multiple with padding-code words so
+    gather_windows can reshape to (rows, ROW_WORDS) for free."""
     n = codes.shape[0]
     n_words = (n + BASES_PER_WORD - 1) // BASES_PER_WORD
-    padded = np.zeros(n_words * BASES_PER_WORD, np.uint32)
+    n_words = -(-n_words // ROW_WORDS) * ROW_WORDS
+    padded = np.full(n_words * BASES_PER_WORD, 5, np.uint8)
     padded[:n] = codes
-    padded[n:] = 5  # genome padding code
-    w = padded.reshape(n_words, BASES_PER_WORD)
+    w = padded.reshape(n_words, BASES_PER_WORD).astype(np.uint32)
     shifts = (np.arange(BASES_PER_WORD, dtype=np.uint32) * 4)
     return (w << shifts).sum(axis=1, dtype=np.uint32)
 
@@ -42,15 +46,44 @@ def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int):
     Out-of-range reads clamp into the terminal padding words (code 5,
     matches nothing), mirroring the clipped-gather semantics of the
     unpacked path.
+
+    Layout: XLA lowers an elementwise word gather at ~7 ns/WORD but a
+    row gather at ~35 ns/ROW (round-4 device profile), so the window is
+    fetched as K aligned 128-word rows per candidate and the variable
+    word offset is resolved with log2(ROW_WORDS) conditional lane rolls
+    — pure VPU work.  2.2x faster at the score-window shape, ~4x at the
+    mate-rescue window shape.
     """
     C = loc.shape[0]
     n_words = genome_p4.shape[0]
     loc = jnp.maximum(loc, 0)
     wstart = (loc >> 3).astype(jnp.int32)
     n_w = (width + BASES_PER_WORD - 1) // BASES_PER_WORD + 1
-    widx = jnp.clip(wstart[:, None] + jnp.arange(n_w, dtype=jnp.int32)[None, :],
-                    0, n_words - 1)
-    words = genome_p4[widx]                                   # (C, n_w) u32
+
+    if n_words % ROW_WORDS == 0:
+        rows_tbl = genome_p4.reshape(-1, ROW_WORDS)
+        M = rows_tbl.shape[0]
+        K = -(-n_w // ROW_WORDS) + 1
+        r0 = wstart >> 7
+        ridx = jnp.clip(r0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
+                        0, M - 1)
+        flat = rows_tbl[ridx].reshape(C, K * ROW_WORDS)       # (C, K*128) u32
+        # variable word shift: 7 conditional rolls by powers of two
+        woff = wstart & (ROW_WORDS - 1)
+        for b in range(7):
+            flat = jnp.where((woff & (1 << b) > 0)[:, None],
+                             jnp.roll(flat, -(1 << b), axis=1), flat)
+        words = flat[:, :n_w]
+        # windows that run past the table read all-padding words, exactly
+        # like the old per-word clamp into the terminal padding
+        jpos = wstart[:, None] + jnp.arange(n_w, dtype=jnp.int32)[None, :]
+        words = jnp.where(jpos < n_words, words, jnp.uint32(_PAD_WORD))
+    else:
+        # fallback for genomes packed before the ROW_WORDS padding
+        widx = jnp.clip(
+            wstart[:, None] + jnp.arange(n_w, dtype=jnp.int32)[None, :],
+            0, n_words - 1)
+        words = genome_p4[widx]                               # (C, n_w) u32
 
     # unpack to (C, n_w * 8) u8 codes
     shifts = (jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 4)
