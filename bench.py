@@ -196,7 +196,11 @@ def main():
             print("bench: retrying with SNAP_TPU_LV_LANES=onehot",
                   file=sys.stderr, flush=True)
         try:
-            paired = PairedAligner(index)
+            # cand_per_read=64: the validated fast paired operating point —
+            # 99.04% position agreement vs the reference binary on this
+            # exact bench shape (AGREEMENT_R4_16K.json companion run;
+            # default 128 scores 99.12%), for ~1.27x throughput
+            paired = PairedAligner(index, cand_per_read=64)
             out = paired.align_batch_device(*pe_batches[0])
             # REAL device fetch: block_until_ready through the axon remote
             # path returns before the work is done (PERF.md methodology),

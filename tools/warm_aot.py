@@ -50,7 +50,7 @@ def main():
     args = tuple(jnp.asarray(x) for x in (r0, q0, r1, q1))
 
     print(f"[{time.time()-t0:6.1f}s] warming paired engine...", flush=True)
-    pa = PairedAligner(index)
+    pa = PairedAligner(index, cand_per_read=64)   # bench operating point
     out = pa.align_batch_device(*args)
     np.asarray(out["pair_found"])          # real fetch (axon sync caveat)
     print(f"[{time.time()-t0:6.1f}s] paired ready "
