@@ -79,6 +79,16 @@ def _emit(value, unit="reads/s", vs=None, **extra):
 def _watchdog():
     while not _PRINTED.wait(timeout=2.0):
         if time.time() - T0 > DEADLINE_S:
+            # If the PE headline is already measured (deadline hit inside a
+            # best-effort extra), emit the REAL number instead of 0.0 — a
+            # slow extra must never cost the round its perf datum.
+            done = _STATE.get("pe_done")
+            if done is not None:
+                _emit(done[0], vs=done[1],
+                      note=f"deadline {DEADLINE_S}s hit during extra stage "
+                           f"'{_STATE['stage']}' (headline unaffected)")
+                sys.stdout.flush()
+                os._exit(0)
             _emit(0.0, vs=0.0, error=f"deadline {DEADLINE_S}s hit during "
                   f"stage '{_STATE['stage']}'")
             sys.stdout.flush()
@@ -234,6 +244,8 @@ def main():
     _STATE["extra"].update(
         rounds_completed=n // (2 * BATCH_PAIRS),
         fraction_pairs_found=round(float(pair_found.mean()), 4))
+    # from here on the watchdog emits THIS number, never 0.0
+    _STATE["pe_done"] = (pe_rps, pe_rps / baseline)
 
     # End-to-end (file -> SAM) reads/s BEFORE printing: the reference's
     # Reads/s includes I/O + record emission (AlignerContext.cpp:382-393),

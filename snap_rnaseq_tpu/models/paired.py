@@ -108,7 +108,7 @@ def _dense_per_read(u, sc, in_prob_flags, B, K):
     ones = sel.astype(jnp.int32)
     cum = jnp.cumsum(ones) - ones                    # exclusive prefix count
     first = jax.ops.segment_min(jnp.where(sel, cum, jnp.int32(0x7FFFFFF0)),
-                                r, num_segments=B)
+                                r, num_segments=B, indices_are_sorted=True)
     rank = cum - first[r]
     keep = sel & (rank < K)
     tr = jnp.where(keep, r, B)
@@ -333,8 +333,9 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
     # one phred-table gather per batch, shared by every scoring site (the
     # tier conds and the per-end rescue would otherwise each pay their own
     # — see filtered_score_phase's qlp_both note)
-    qlp_cat = jnp.asarray(sg.PHRED_LOG_PROB)[
-        jnp.stack([quals_cat, quals_cat[:, ::-1]], axis=1).astype(jnp.int32)]
+    from ..ops.lv import phred_log_prob_device
+    qlp_cat = phred_log_prob_device(
+        jnp.stack([quals_cat, quals_cat[:, ::-1]], axis=1))
     seeds = sg.seed_phase(reads_cat, schedule, seed_len, ht_entries,
                           shard_start, shard_size, overflow,
                           genome_size, sched_static, cuckoo)
@@ -380,8 +381,13 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
     def from_cands(cands, compact_big, score_scale=1):
         u_full = sg.aggregate_phase(cands)
         if compact_big > 0:
+            # width cond disabled by default — the conditional op's operand
+            # shuffling costs more than the narrow tier saves on v5e (see
+            # single.from_cands / PERF.md round-4 xplane profile)
+            import os as _os
             small = max(4, compact_big // 4)
-            if small < compact_big:
+            if small < compact_big and \
+                    _os.environ.get("SNAP_TPU_COMPACT_TIER", "0") == "1":
                 eo = jax.lax.cond(
                     u_full["live"].sum() <= B2 * small,
                     lambda uu: back_half(uu, small, score_scale),

@@ -281,7 +281,12 @@ def aggregate_phase(c):
     (dir, loc) lax.sort instead of a global 3-key lexsort — same grouping,
     ~W log^2 W vs C log^2 C comparator stages.  All downstream segment
     reductions are order-invariant within a (read, dir, loc) group, so the
-    within-group order key the global sort had is unnecessary."""
+    within-group order key the global sort had is unnecessary.
+
+    The segment reductions stay ROWWISE too (ops/rowscan.py): segments
+    never cross rows, so each one is log2(W) lane-shift steps instead of a
+    C-element scatter + gather-back (jax.ops.segment_*) — the flat version
+    was the engine's biggest non-gather cost block (PERF.md round 4)."""
     # Pack the sort down to one u32 key + three payloads: every operand
     # rides through ~log^2(W) comparator stages, so fewer/narrower
     # operands are a direct win.  Key = dir<<31 | loc reproduces the
@@ -290,52 +295,63 @@ def aggregate_phase(c):
     # tail, as before).  read is constant per row — recomputed, not
     # sorted.  (order, live) and (round, offset) share lanes: order
     # uses 22 bits (group<<16|within), round < 64, offset < 1024.
+    from ..ops.rowscan import seg_broadcast
     rows, W = c["dir"].shape
     ukey = (c["dir"].astype(jnp.uint32) << 31) | c["loc"].astype(jnp.uint32)
     p_ord = c["order"] | (c["live"].astype(jnp.int32) << 30)
     p_ro = (c["round"] << 10) | c["offset"]
-    ukey, p_ord, p_ro, lp_ = (
-        x.reshape(-1) for x in jax.lax.sort(
-            (ukey, p_ord, p_ro, c["lp"]), dimension=1, num_keys=1,
-            is_stable=False))
+    ukey, p_ord, p_ro, lp_ = jax.lax.sort(
+        (ukey, p_ord, p_ro, c["lp"]), dimension=1, num_keys=1,
+        is_stable=False)
     d_ = (ukey >> 31).astype(jnp.int32)
     l_ = (ukey & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     o_ = p_ord & jnp.int32(0x3FFFFFFF)
     live_ = (p_ord >> 30) > 0
     rd_ = p_ro >> 10
     off_ = p_ro & jnp.int32(0x3FF)
-    r_ = jnp.repeat(jnp.arange(rows, dtype=jnp.int32), W)
-    C = r_.shape[0]
 
+    col0 = jnp.zeros((rows, W), bool).at[:, 0].set(True)
     elem_loc = l_ - l_ % MAX_MERGE_DIST
-    diff_rd = (r_[1:] != r_[:-1]) | (d_[1:] != d_[:-1])
-    elem_b = jnp.concatenate([jnp.ones(1, bool),
-                              diff_rd | (elem_loc[1:] != elem_loc[:-1])])
-    cand_b = jnp.concatenate([jnp.ones(1, bool), diff_rd | (l_[1:] != l_[:-1])])
-    elem_id = _segment_ids(elem_b)
-    cand_id = _segment_ids(cand_b)
+    diff_d = col0 | (d_ != jnp.pad(d_, ((0, 0), (1, 0)))[:, :-1])
+    elem_b = diff_d | (elem_loc != jnp.pad(elem_loc,
+                                           ((0, 0), (1, 0)))[:, :-1])
+    cand_b = diff_d | (l_ != jnp.pad(l_, ((0, 0), (1, 0)))[:, :-1])
 
-    elem_weight = jax.ops.segment_sum(live_.astype(jnp.int32), elem_id,
-                                      num_segments=C)
-    elem_weight = jnp.minimum(elem_weight, 63)
-    elem_lp = jax.ops.segment_min(jnp.where(live_, lp_, BIG), elem_id,
-                                  num_segments=C)
-    cand_first_order = jax.ops.segment_min(jnp.where(live_, o_, BIG), cand_id,
-                                           num_segments=C)
-    cand_first_round = jax.ops.segment_min(jnp.where(live_, rd_, BIG), cand_id,
-                                           num_segments=C)
+    elem_weight = jnp.minimum(
+        seg_broadcast(live_.astype(jnp.int32), elem_b, jnp.add, 0), 63)
+    elem_lp = seg_broadcast(jnp.where(live_, lp_, BIG), elem_b,
+                            jnp.minimum, BIG)
+    cand_first_order = seg_broadcast(jnp.where(live_, o_, BIG), cand_b,
+                                     jnp.minimum, BIG)
+    # first_round needs no scan of its own: within a candidate group the
+    # dir (group-id parity) is fixed, so min(order) and min(round) land on
+    # the same element and round = group >> 1 = order >> 17
+    cand_first_round = jnp.where(cand_first_order < BIG,
+                                 cand_first_order >> 17, BIG)
     # seedOffset of the LAST hit on this exact location (the reference
-    # overwrites candidate->seedOffset per hit, BaseAligner.cpp:858-861)
-    cand_last = jax.ops.segment_max(jnp.where(live_, (o_ << 10) | off_, -1),
-                                    cand_id, num_segments=C)
+    # overwrites candidate->seedOffset per hit, BaseAligner.cpp:858-861).
+    # Packed max runs in uint32 with a +1 bias: (o_ << 10) overflows int32
+    # once the group id reaches 32 (seed index 16 — reachable at the
+    # single-end default of 25 seeds), which flipped the max's sign.
+    cand_last = seg_broadcast(
+        jnp.where(live_, ((o_.astype(jnp.uint32) << 10)
+                          | off_.astype(jnp.uint32)) + 1, 0),
+        cand_b, jnp.maximum, jnp.uint32(0))
+    off_out = jnp.where(cand_last > 0,
+                        ((cand_last - 1) & jnp.uint32(0x3FF)).astype(jnp.int32),
+                        0)
+
+    r_ = jnp.broadcast_to(jnp.arange(rows, dtype=jnp.int32)[:, None],
+                          (rows, W))
+    flat = lambda x: x.reshape(rows * W)
     return dict(
-        read=r_, dir=d_, loc=l_,
-        off=jnp.where(cand_last[cand_id] >= 0, cand_last[cand_id] & 0x3FF, 0),
-        order=cand_first_order[cand_id],
-        round=cand_first_round[cand_id],
-        weight=elem_weight[elem_id],
-        lp=elem_lp[elem_id],
-        live=cand_b & live_,          # one representative per unique candidate
+        read=flat(r_), dir=flat(d_), loc=flat(l_),
+        off=flat(off_out),
+        order=flat(cand_first_order),
+        round=flat(cand_first_round),
+        weight=flat(elem_weight),
+        lp=flat(elem_lp),
+        live=flat(cand_b & live_),    # one representative per unique candidate
     )
 
 
@@ -536,8 +552,9 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     # Callers that invoke this phase from inside lax.cond tiers pass a
     # hoisted qlp_both so the gather runs once per batch, not per branch.
     if qlp_both is None:
+        from ..ops.lv import phred_log_prob_device
         qual_both = jnp.stack([quals, quals[:, ::-1]], axis=1)
-        qlp_both = jnp.asarray(PHRED_LOG_PROB)[qual_both.astype(jnp.int32)]
+        qlp_both = phred_log_prob_device(qual_both)
 
     fast = jnp.zeros((C,), bool)
     if os.environ.get("SNAP_TPU_FAST_SUB", "1") != "0":
@@ -688,15 +705,17 @@ def replay_phase(u, sc, budget, reads, B, S, cfg: SingleAlignerConfig):
     comp = jnp.where(score_f < BIG,
                      score_f.astype(jnp.float32) * 1e6 - jnp.clip(logp, -1e5, 0),
                      jnp.float32(3e12))
-    m1 = jax.ops.segment_min(comp, u_read, num_segments=B)
+    m1 = jax.ops.segment_min(comp, u_read, num_segments=B,
+                             indices_are_sorted=True)
     cand1 = comp <= m1[u_read]
     m2 = jax.ops.segment_min(jnp.where(cand1, u_order, BIG), u_read,
-                             num_segments=B)
+                             num_segments=B, indices_are_sorted=True)
     cand2 = cand1 & (u_order == m2[u_read])
     winner_slot = jax.ops.segment_min(
         jnp.where(cand2, jnp.arange(C, dtype=jnp.int32), BIG), u_read,
-        num_segments=B)
-    has_best = jax.ops.segment_min(score_f, u_read, num_segments=B) < BIG
+        num_segments=B, indices_are_sorted=True)
+    has_best = jax.ops.segment_min(score_f, u_read, num_segments=B,
+                                   indices_are_sorted=True) < BIG
     winner_slot = jnp.where(has_best, winner_slot, 0)
     best_score = score_f[winner_slot]
     best_loc = loc_adj[winner_slot]
@@ -714,26 +733,29 @@ def replay_phase(u, sc, budget, reads, B, S, cfg: SingleAlignerConfig):
     clus_key = jnp.where(in_prob,
                          score.astype(jnp.float32) * 1e6 - jnp.clip(logp, -1e5, 0),
                          jnp.float32(3e12))
-    clus_min = jax.ops.segment_min(clus_key, clus_id, num_segments=C)
+    clus_min = jax.ops.segment_min(clus_key, clus_id, num_segments=C,
+                                   indices_are_sorted=True)
     is_clus_best = in_prob & (clus_key <= clus_min[clus_id])
     cum_best = jnp.cumsum(is_clus_best.astype(jnp.int32))
     first_best_rank = jax.ops.segment_min(
-        jnp.where(is_clus_best, cum_best, BIG), clus_id, num_segments=C)
+        jnp.where(is_clus_best, cum_best, BIG), clus_id, num_segments=C,
+        indices_are_sorted=True)
     is_clus_best = is_clus_best & (cum_best == first_best_rank[clus_id])
 
     clus_logp = jnp.where(is_clus_best, logp, NEG_INF)
-    read_max = jnp.maximum(jax.ops.segment_max(clus_logp, u_read, num_segments=B),
+    read_max = jnp.maximum(jax.ops.segment_max(clus_logp, u_read, num_segments=B,
+                                               indices_are_sorted=True),
                            -1e29)
     psum = jax.ops.segment_sum(
         jnp.where(is_clus_best, jnp.exp(clus_logp - read_max[u_read]), 0.0),
-        u_read, num_segments=B)
+        u_read, num_segments=B, indices_are_sorted=True)
     log_pall = jnp.where(psum > 0, jnp.log(psum) + read_max, NEG_INF)
 
     not_best = is_clus_best & (jnp.arange(C) != winner_slot[u_read])
     psum_o = jax.ops.segment_sum(
         jnp.where(not_best, jnp.exp(jnp.where(not_best, logp, NEG_INF)
                                     - read_max[u_read]), 0.0),
-        u_read, num_segments=B)
+        u_read, num_segments=B, indices_are_sorted=True)
     log_pother = jnp.where(psum_o > 0, jnp.log(psum_o) + read_max, NEG_INF)
 
     popular_n = (budget["popular"] & budget["active_pos"][:, :, None]
@@ -870,11 +892,18 @@ def _align_batch(reads, quals,
         """aggregate + the compact tier ladder for one expand width."""
         u = aggregate_phase(cands)
         if compact_big > 0:
-            n_live = u["live"].sum()
+            # The small/big width cond is OFF by default: on v5e the
+            # conditional op itself costs ~28 ms/batch moving its ~29-array
+            # operand tuple (the whole aggregate output + read/genome
+            # arrays) between memory spaces — more than the wide back half
+            # saves (round-4 xplane profile, tools/xprof_dump.py).  The
+            # narrow tier only pays off when branch overhead is cheap;
+            # SNAP_TPU_COMPACT_TIER=1 re-enables it for A/B.
             small = max(4, compact_big // 4)
-            if small < compact_big:
+            if small < compact_big and \
+                    os.environ.get("SNAP_TPU_COMPACT_TIER", "0") == "1":
                 out = jax.lax.cond(
-                    n_live <= B * small,
+                    u["live"].sum() <= B * small,
                     lambda uu: back_half(uu, small, score_scale),
                     lambda uu: back_half(uu, compact_big, score_scale),
                     u)

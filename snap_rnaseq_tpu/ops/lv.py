@@ -65,6 +65,26 @@ def phred_log_prob_table() -> np.ndarray:
 
 PHRED_LOG_PROB = phred_log_prob_table()
 
+_LOG2_10_OVER_10 = float(np.log2(10.0) / 10.0)
+_LOG_SNP = float(np.log(SNP_PROB))
+
+
+def phred_log_prob_device(qbytes: jnp.ndarray) -> jnp.ndarray:
+    """Device-side analytic phred_log_prob_table: the elementwise 256-entry
+    table gather lowers to per-element dynamic slices on TPU (3.4 ms/batch
+    for the one hoisted read-scale gather, round-4 xplane profile), while
+    the closed form is a handful of fused VPU transcendentals.
+
+    Cancellation-free form: 1 - (1-pe)(1-s) = pe + s*(1-pe), so f32 keeps
+    ~1e-7 relative accuracy (the naive form loses 3-4 digits at high q).
+    Matches phred_log_prob_table to ~1e-6 absolute — far inside the 2e-4
+    parity tolerance and the integer-MAPQ rounding step."""
+    q = qbytes.astype(jnp.float32) - 33.0
+    pe = jnp.exp2(q * jnp.float32(-_LOG2_10_OVER_10))       # 10^(-q/10)
+    v = pe + jnp.float32(SNP_PROB) * (1.0 - pe)
+    in_range = (qbytes >= 33) & (qbytes <= 126)
+    return jnp.where(in_range, jnp.log(v), jnp.float32(_LOG_SNP))
+
 
 class LVResult(NamedTuple):
     distance: jnp.ndarray    # int32 (B,): edit distance, or -1 if > k
@@ -162,7 +182,7 @@ def _lv_distance_pallas(pattern, p_len, text, t_len, k, quality=None,
         # to read level — elementwise tiny-table gathers are slow on TPU)
         qual_logp = quality
     else:
-        qual_logp = jnp.asarray(PHRED_LOG_PROB)[quality.astype(jnp.int32)]
+        qual_logp = phred_log_prob_device(quality)
     if keep_tables:
         dist, e_fin, d_fin, log_prob, net_indel, L_all, A_all = \
             lv_distance_pallas_core(
@@ -397,8 +417,7 @@ def _backtrace_prob(pattern, p_len, quality, L_all, A_all, e_fin, d_fin, e_max):
     elif quality.dtype == jnp.float32:
         qual_logp = quality       # pre-gathered log-probs (see pallas path)
     else:
-        table = jnp.asarray(PHRED_LOG_PROB)
-        qual_logp = table[quality.astype(jnp.int32)]
+        qual_logp = phred_log_prob_device(quality)
     # qual index clamped to [0, p_len-1] like the reference's BUGBUG clamp
     # (LandauVishkin.h:422)
     qmax = jnp.maximum(p_len - 1, 0)

@@ -37,7 +37,8 @@ _PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # part of the program identity
 _TRACE_ENV_VARS = ("SNAP_TPU_LV_LANES", "SNAP_TPU_LV_TILE",
                    "SNAP_TPU_FAST_SUB", "SNAP_TPU_LOOKUP",
-                   "SNAP_TPU_TRUNC_MASS", "SNAP_TPU_LV")
+                   "SNAP_TPU_TRUNC_MASS", "SNAP_TPU_LV",
+                   "SNAP_TPU_COMPACT_TIER")
 
 _source_digest_cache = None
 
