@@ -143,8 +143,83 @@ def _bench_index(cache_dir):
     return index
 
 
+def _try_resident_server(baseline, baseline_src):
+    """Measure through the resident engine server (tools/engine_server.py)
+    when one is alive: a production deployment keeps the index on-chip and
+    serves requests, so the bench doesn't re-pay the 330-780 s device
+    upload through the tunnel per process (the BENCH_r02/r03 rc=124
+    failure mode).  Honest labelling: extra.engine = "resident-server";
+    the steady-state reads/s is identical to the in-process measurement
+    (same engine, same batches, same real-fetch sync)."""
+    import pickle
+    import socket
+    import struct
+    sock_path = os.environ.get(
+        "SNAP_TPU_ENGINE_SOCK",
+        os.path.join(os.environ.get("SNAP_TPU_BENCH_CACHE",
+                                    "/root/bench_cache"), "engine.sock"))
+    if not os.path.exists(sock_path):
+        return False
+
+    def call(obj, timeout):
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.settimeout(timeout)
+        try:
+            conn.connect(sock_path)
+            payload = pickle.dumps(obj)
+            conn.sendall(struct.pack("<I", len(payload)) + payload)
+            buf = b""
+            while len(buf) < 4:
+                buf += conn.recv(4 - len(buf))
+            (n,) = struct.unpack("<I", buf)
+            data = b""
+            while len(data) < n:
+                chunk = conn.recv(n - len(data))
+                if not chunk:
+                    raise ConnectionError("peer closed")
+                data += chunk
+            return pickle.loads(data)
+        finally:
+            conn.close()
+
+    try:
+        _stage("server-ping")
+        r = call({"cmd": "ping"}, timeout=10.0)
+        if not (r.get("ok") and r.get("ready", True)):
+            return False
+        _stage("server-measure")
+        m = call({"cmd": "measure", "rounds": ROUNDS,
+                  "deadline_s": max(60.0, DEADLINE_S - (time.time() - T0)
+                                    - 60.0)},
+                 timeout=max(60.0, DEADLINE_S - (time.time() - T0) - 30.0))
+        if not m.get("ok"):
+            print(f"bench: server measure failed: {m.get('error')}",
+                  file=sys.stderr, flush=True)
+            return False
+        _STATE["extra"].update(
+            engine="resident-server",
+            rounds_completed=m["rounds_completed"],
+            fraction_pairs_found=round(m["fraction_pairs_found"], 4),
+            batch_pairs=m["batch_pairs"])
+        _emit(m["reads_per_sec"], vs=m["reads_per_sec"] / baseline)
+        return True
+    except Exception as e:
+        print(f"bench: resident server unusable ({e}); falling back to "
+              "in-process", file=sys.stderr, flush=True)
+        return False
+
+
 def main():
+    global BATCH_PAIRS, ROUNDS
     threading.Thread(target=_watchdog, daemon=True).start()
+
+    baseline, baseline_src = _load_baseline()
+    _STATE["extra"].update(baseline_reads_per_sec=baseline,
+                           baseline_source=baseline_src,
+                           batch_pairs=BATCH_PAIRS)
+    if _try_resident_server(baseline, baseline_src):
+        sys.stderr.flush()
+        os._exit(0)
 
     _stage("tpu-probe")
     on_tpu = _probe_tpu()
@@ -160,7 +235,6 @@ def main():
               file=sys.stderr, flush=True)
         _STATE["extra"]["backend"] = "cpu-fallback (TPU tunnel unreachable)"
         # keep XLA:CPU compile + run of the full engine inside the budget
-        global BATCH_PAIRS, ROUNDS
         BATCH_PAIRS = min(BATCH_PAIRS, 128)
         ROUNDS = min(ROUNDS, 3)
 
@@ -184,6 +258,16 @@ def main():
     index = _bench_index(cache_dir)
     _STATE["extra"]["index_ready_s"] = round(time.time() - t, 1)
 
+    # Construct the aligner BEFORE read synthesis: the constructor issues
+    # the (GB-scale on 64Mb genomes) async device uploads of the index
+    # arrays, which then stream through the tunnel while wgsim runs on the
+    # host.  cand_per_read=64: the validated fast paired operating point —
+    # 99.04% position agreement vs the reference binary on this exact
+    # bench shape (AGREEMENT_R4_16K.json companion run; default 128
+    # scores 99.12%), for ~1.27x throughput.
+    _stage("index-upload")
+    paired = PairedAligner(index, cand_per_read=64)
+
     _stage("read-synth")
     codes = np.asarray(index.genome.codes)
     pad = int(index.genome.piece_offsets[0])
@@ -206,11 +290,6 @@ def main():
             print("bench: retrying with SNAP_TPU_LV_LANES=onehot",
                   file=sys.stderr, flush=True)
         try:
-            # cand_per_read=64: the validated fast paired operating point —
-            # 99.04% position agreement vs the reference binary on this
-            # exact bench shape (AGREEMENT_R4_16K.json companion run;
-            # default 128 scores 99.12%), for ~1.27x throughput
-            paired = PairedAligner(index, cand_per_read=64)
             out = paired.align_batch_device(*pe_batches[0])
             # REAL device fetch: block_until_ready through the axon remote
             # path returns before the work is done (PERF.md methodology),

@@ -47,13 +47,16 @@ def batches(index, n_pairs, n_batches=3):
 def run(name, index):
     os.environ.pop("SNAP_TPU_LV_LANES", None)
     B = 1024
-    kw = {}
+    # default = the bench operating point (bench.py uses cand_per_read=64)
+    kw = {"cand_per_read": 64}
     if name == "norescue":
         kw["mate_rescue"] = False
     elif name == "onehot":
         os.environ["SNAP_TPU_LV_LANES"] = "onehot"
     elif name == "b2048":
         B = 2048
+    elif name == "cand128":
+        kw["cand_per_read"] = 128
     t0 = time.time()
     if name == "se":
         from snap_rnaseq_tpu.models.single import SingleAligner
@@ -70,14 +73,17 @@ def run(name, index):
         reads_per_batch = 2 * B
         key = "pair_found"
     out = step(bs[0])
-    jax.block_until_ready(out[key])
+    # REAL device fetch: block_until_ready returns early through the axon
+    # remote path, especially for AOT-deserialized executables (PERF.md
+    # methodology) — np.asarray is the only trustworthy sync
+    np.asarray(out[key])
     compile_s = time.time() - t0
     t0 = time.time()
     n = 0
     for i in range(ROUNDS):
         out = step(bs[i % len(bs)])
         n += reads_per_batch
-    jax.block_until_ready(out[key])
+    np.asarray(out[key])
     dt = time.time() - t0
     print(json.dumps({"config": name, "reads_per_sec": round(n / dt, 1),
                       "ms_per_batch": round(dt / ROUNDS * 1e3, 1),
