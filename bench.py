@@ -112,14 +112,17 @@ def _probe_tpu() -> bool:
         return False
 
 
-def _load_baseline():
+def _load_baseline(single=False):
     baseline, src = FALLBACK_BASELINE, "fallback-constant"
     meas = os.path.join(HERE, "BASELINE_MEASURED.json")
     if os.path.exists(meas):
         with open(meas) as f:
             m = json.load(f)
-        v = (m.get("paired_reads_per_sec_32t_estimate")
-             or m.get("reads_per_sec_32t_estimate"))
+        if single:
+            v = m.get("reads_per_sec_32t_estimate")
+        else:
+            v = (m.get("paired_reads_per_sec_32t_estimate")
+                 or m.get("reads_per_sec_32t_estimate"))
         if v:
             baseline = float(v)
             src = "measured (see BASELINE_MEASURED.json)"
@@ -201,6 +204,29 @@ def _try_resident_server(baseline, baseline_src):
             rounds_completed=m["rounds_completed"],
             fraction_pairs_found=round(m["fraction_pairs_found"], 4),
             batch_pairs=m["batch_pairs"])
+        # one-time engine-ready costs stay visible next to the steady-state
+        # number (ADVICE r4): index load + upload/compile/first-exec
+        cold = m.get("cold_costs") or r.get("cold_costs")
+        if cold:
+            _STATE["extra"]["server_cold_costs_s"] = cold
+        _STATE["pe_done"] = (m["reads_per_sec"],
+                             m["reads_per_sec"] / baseline)
+        # guaranteed single-end datum (VERDICT r4 #6), server path
+        if time.time() - T0 < DEADLINE_S - 60:
+            try:
+                _stage("server-measure-se")
+                se = call({"cmd": "measure_se", "rounds": ROUNDS,
+                           "deadline_s": 60.0}, timeout=120.0)
+                if se.get("ok"):
+                    se_base, _ = _load_baseline(single=True)
+                    _STATE["extra"]["single_end"] = dict(
+                        reads_per_sec=round(se["reads_per_sec"], 1),
+                        fraction_aligned=round(
+                            se["fraction_pairs_found"], 4),
+                        vs_baseline=round(se["reads_per_sec"] / se_base, 4))
+            except Exception as e:   # old server / timeout: PE unaffected
+                print(f"bench: SE server measure unavailable ({e})",
+                      file=sys.stderr, flush=True)
         _emit(m["reads_per_sec"], vs=m["reads_per_sec"] / baseline)
         return True
     except Exception as e:
@@ -337,15 +363,19 @@ def main():
         except Exception as e:    # extra only — never fail the bench
             print(f"bench: e2e extra failed: {e}", file=sys.stderr)
 
+    # single-end datum (VERDICT r4 #6) BEFORE the emit so it lands in the
+    # one stdout JSON line's extra; the watchdog still guards the headline
+    if time.time() - T0 < DEADLINE_S - 120:
+        try:
+            se = _se_extra(index, pe_batches)
+            if se:
+                _STATE["extra"]["single_end"] = se
+        except Exception as e:    # extra only — never fail the bench
+            print(f"bench: SE extra failed: {e}", file=sys.stderr)
+
     # Headline is ready: print it NOW; everything after is best-effort.
     _emit(pe_rps, vs=pe_rps / baseline,
           **({"end_to_end_reads_per_sec": e2e} if e2e else {}))
-
-    if time.time() - T0 < DEADLINE_S - 120:
-        try:
-            _se_extra(index, pe_batches, baseline)
-        except Exception as e:    # extra only — never fail the bench
-            print(f"bench: SE extra failed: {e}", file=sys.stderr)
     sys.stderr.flush()
     os._exit(0)
 
@@ -382,13 +412,27 @@ def _e2e_extra(index, pe_batches, paired):
         return round(stats.total_reads / dt, 1)
 
 
-def _se_extra(index, pe_batches, baseline):
-    """Single-end number on the same genome, reported to stderr (the
-    driver's parser takes only the one stdout JSON line)."""
-    import jax
+def _se_extra(index, pe_batches):
+    """Single-end number on the same genome; returned for the headline's
+    extra dict (and echoed to stderr)."""
     import numpy as np
-    from snap_rnaseq_tpu.models.single import SingleAligner
-    single = SingleAligner(index)
+    from snap_rnaseq_tpu.models.single import SingleAligner, \
+        SingleAlignerConfig
+    _stage("se-measure")
+    se_base, _ = _load_baseline(single=True)
+    paired = _STATE.get("paired_aligner")
+    if paired is not None:
+        # share the paired engine's resident device arrays: a fresh
+        # constructor would re-upload ~1.5 GB through the tunnel
+        single = object.__new__(SingleAligner)
+        single.index = index
+        single.cfg = SingleAlignerConfig(seed_len=index.seed_len)
+        single._dev = paired._dev
+        single._cuckoo = paired._cuckoo
+        single.genome_size = paired.genome_size
+        single._aot = {}
+    else:
+        single = SingleAligner(index)
     se_batches = [(r0, q0) for (r0, q0, _, _) in pe_batches]
     sout = single.align_batch_device(*se_batches[0])
     np.asarray(sout["result"])   # real fetch (see pe warmup note)
@@ -401,10 +445,11 @@ def _se_extra(index, pe_batches, baseline):
             break
     se_aligned = float((np.asarray(sout["result"]) > 0).mean())
     se_rps = ns / (time.time() - t0)
-    print(json.dumps({"single_end_reads_per_sec": round(se_rps, 1),
-                      "single_end_fraction_aligned": round(se_aligned, 4),
-                      "vs_baseline": round(se_rps / baseline, 4)}),
-          file=sys.stderr, flush=True)
+    se = {"reads_per_sec": round(se_rps, 1),
+          "fraction_aligned": round(se_aligned, 4),
+          "vs_baseline": round(se_rps / se_base, 4)}
+    print(json.dumps({"single_end": se}), file=sys.stderr, flush=True)
+    return se
 
 
 if __name__ == "__main__":

@@ -10,20 +10,31 @@ reference amortizes index load across runs via the OS page cache
 (BASELINE_MEASURED is measured "warm page cache" for the same reason).
 
 This server is that deployment shape: it loads the bench index, warms the
-AOT-cached paired engine once, then serves measurement requests over a
-unix socket.  bench.py uses it when alive (the JSON line is labelled
-`engine: "resident-server"`), and falls back to the in-process path when
-not.  The measured number is the same steady-state reads/s either way —
-only the one-time engine-ready cost is amortized.
+AOT-cached paired + single engines once, then serves measurement requests
+over a unix socket.  bench.py uses it when alive (the JSON line is
+labelled `engine: "resident-server"`), and falls back to the in-process
+path when not.  The measured number is the same steady-state reads/s
+either way — only the one-time engine-ready cost is amortized; ping
+reports those cold costs so they stay visible next to the steady-state
+number (ADVICE r4).
 
 Usage:  nohup python tools/engine_server.py >> /root/bench_cache/engine_server.log 2>&1 &
 Protocol (length-prefixed pickle over SOCK_PATH):
-  {"cmd": "ping"}                          -> {"ok": True, "ready": bool}
+  {"cmd": "ping"}                          -> {"ok": True, "ready": bool,
+                                               "cold_costs": {...}}
   {"cmd": "measure", "rounds": N,
-   "batch_pairs": B, "deadline_s": T}      -> {"ok": True, "reads_per_sec": r,
+   "deadline_s": T}                        -> {"ok": True, "reads_per_sec": r,
                                                "rounds_completed": n,
                                                "fraction_pairs_found": f,
                                                "batch_pairs": B}
+  {"cmd": "measure_se", ...}               -> same for the single-end engine
+  {"cmd": "reload_measure", "kw": {...},
+   "single": bool, "rounds": N}            -> dev harness: re-import the
+       engine modules from disk, rebuild the aligner REUSING the resident
+       device arrays (no re-upload), jit + measure.  This is the round-5
+       A/B loop: an engine-code edit costs one trace+compile instead of
+       trace+compile+480s index upload.
+  {"cmd": "shutdown"}                      -> clean exit (keepalive stops)
 """
 import os
 import pickle
@@ -73,43 +84,132 @@ class Engine:
         import numpy as np
         from snap_rnaseq_tpu.index.hash_index import GenomeIndex
         from snap_rnaseq_tpu.models.paired import PairedAligner
+        from snap_rnaseq_tpu.models.single import (SingleAligner,
+                                                   SingleAlignerConfig)
         from snap_rnaseq_tpu.utils.synth_genome import wgsim_pairs
         t0 = time.time()
+        self.cold = {}
         index = GenomeIndex.load(
             os.path.join(CACHE, f"hg{GENOME_BASES // 1_000_000}_s20"))
+        self.index = index
+        self.cold["index_load_s"] = round(time.time() - t0, 1)
         print(f"[{time.time()-t0:6.1f}s] index loaded", flush=True)
         codes = np.asarray(index.genome.codes)
         pad = int(index.genome.piece_offsets[0])
         body = codes[pad:pad + GENOME_BASES]
         self.batches = []
+        t1 = time.time()
         self.aligner = PairedAligner(index, cand_per_read=64)
         for s in range(3):
             r0, q0, r1, q1, _, _ = wgsim_pairs(body, BATCH_PAIRS, READ_LEN,
                                                seed=s)
             self.batches.append(tuple(jnp.asarray(x)
                                       for x in (r0, q0, r1, q1)))
-        print(f"[{time.time()-t0:6.1f}s] warming engine "
+        print(f"[{time.time()-t0:6.1f}s] warming paired engine "
               "(upload + AOT load + first exec)...", flush=True)
         out = self.aligner.align_batch_device(*self.batches[0])
         self.np = np
         pf = float(np.asarray(out["pair_found"]).mean())
-        print(f"[{time.time()-t0:6.1f}s] engine ready "
+        self.cold["paired_ready_s"] = round(time.time() - t1, 1)
+        print(f"[{time.time()-t0:6.1f}s] paired engine ready "
               f"(pair_found={pf:.4f})", flush=True)
+        # single-end engine SHARING the resident device arrays (same index
+        # tables; the constructor would otherwise re-upload ~1.5 GB)
+        t1 = time.time()
+        self.single = self._transplant(
+            SingleAligner, SingleAlignerConfig(seed_len=index.seed_len))
+        sout = self.single.align_batch_device(*self.batches[0][:2])
+        sa = float((np.asarray(sout["result"]) > 0).mean())
+        self.cold["single_ready_s"] = round(time.time() - t1, 1)
+        self.cold["engine_ready_s"] = round(time.time() - t0, 1)
+        print(f"[{time.time()-t0:6.1f}s] single engine ready "
+              f"(aligned={sa:.4f})", flush=True)
 
-    def measure(self, rounds, deadline_s):
+    def _transplant(self, cls, cfg):
+        """Build an aligner of class `cls` around the RESIDENT device
+        arrays (no re-upload).  Both aligner classes keep identical device
+        state: _dev, _cuckoo, genome_size (models/single.py:952-981,
+        models/paired.py:512-545)."""
+        al = object.__new__(cls)
+        al.index = self.index
+        al.cfg = cfg
+        al._dev = self.aligner._dev
+        al._cuckoo = self.aligner._cuckoo
+        al.genome_size = self.aligner.genome_size
+        al._aot = {}
+        return al
+
+    def _measure(self, aligner, batches, rounds, deadline_s, single=False):
+        np = self.np
+        key = "result" if single else "pair_found"
+        step = ((lambda b: aligner.align_batch_device(*b[:2])) if single
+                else (lambda b: aligner.align_batch_device(*b)))
+        rpb = BATCH_PAIRS if single else 2 * BATCH_PAIRS
+        # un-timed warmup: the FIRST dispatch after an idle period pays a
+        # tunnel/program reload stall (observed ~28 s after ~1 h idle, which
+        # once turned a 56k measurement into 367 reads/s); it must never
+        # land inside the timed window
+        np.asarray(step(batches[0])[key])
         t0 = time.time()
         n = 0
+        out = None
         for i in range(rounds):
-            out = self.aligner.align_batch_device(*self.batches[i % 3])
-            n += 2 * BATCH_PAIRS
+            out = step(batches[i % len(batches)])
+            n += rpb
             if time.time() - t0 > deadline_s and i >= 1:
                 break
-        pf = self.np.asarray(out["pair_found"])   # REAL sync (PERF.md)
+        val = np.asarray(out[key])   # REAL sync (PERF.md methodology)
         dt = time.time() - t0
+        frac = float((val > 0).mean()) if single else float(val.mean())
         return dict(ok=True, reads_per_sec=n / dt,
-                    rounds_completed=n // (2 * BATCH_PAIRS),
-                    fraction_pairs_found=float(pf.mean()),
-                    batch_pairs=BATCH_PAIRS)
+                    rounds_completed=n // rpb,
+                    fraction_pairs_found=frac,
+                    batch_pairs=BATCH_PAIRS, cold_costs=self.cold)
+
+    def measure(self, rounds, deadline_s):
+        return self._measure(self.aligner, self.batches, rounds, deadline_s)
+
+    def measure_se(self, rounds, deadline_s):
+        return self._measure(self.single, self.batches, rounds, deadline_s,
+                             single=True)
+
+    def reload_measure(self, kw, single, rounds):
+        """Dev A/B: re-import engine modules from disk, rebuild the aligner
+        on the resident device arrays, trace+compile, measure."""
+        import importlib
+        t0 = time.time()
+        import snap_rnaseq_tpu.utils.aot_cache as aot_cache
+        import snap_rnaseq_tpu.constants as constants
+        import snap_rnaseq_tpu.utils.seed_sequencer as seed_sequencer
+        import snap_rnaseq_tpu.ops.rowscan as rowscan
+        import snap_rnaseq_tpu.ops.genome_gather as genome_gather
+        import snap_rnaseq_tpu.ops.lookup as lookup
+        import snap_rnaseq_tpu.ops.lv_pallas as lv_pallas
+        import snap_rnaseq_tpu.ops.lv as lv
+        import snap_rnaseq_tpu.ops.bitpar as bitpar
+        import snap_rnaseq_tpu.models.single as m_single
+        import snap_rnaseq_tpu.models.paired as m_paired
+        for m in (aot_cache, constants, seed_sequencer, rowscan,
+                  genome_gather, lookup, lv_pallas, lv, bitpar,
+                  m_single, m_paired):
+            importlib.reload(m)
+        if single:
+            cfg = m_single.SingleAlignerConfig(
+                seed_len=self.index.seed_len, **kw)
+            al = self._transplant(m_single.SingleAligner, cfg)
+        else:
+            base = dict(cand_per_read=64)
+            base.update(kw)
+            cfg = m_paired.PairedAlignerConfig(
+                seed_len=self.index.seed_len, **base)
+            al = self._transplant(m_paired.PairedAligner, cfg)
+        reload_s = time.time() - t0
+        t0 = time.time()
+        out = self._measure(al, self.batches, rounds,
+                            deadline_s=600.0, single=single)
+        out["compile_s"] = round(time.time() - t0 - 0.0, 1)
+        out["reload_s"] = round(reload_s, 1)
+        return out
 
 
 def main():
@@ -128,11 +228,20 @@ def main():
             req = _recv_msg(conn)
             cmd = req.get("cmd")
             if cmd == "ping":
-                _send_msg(conn, dict(ok=True, ready=ready))
+                _send_msg(conn, dict(ok=True, ready=ready,
+                                     cold_costs=engine.cold))
             elif cmd == "measure":
                 _send_msg(conn, engine.measure(
                     int(req.get("rounds", 10)),
                     float(req.get("deadline_s", 120.0))))
+            elif cmd == "measure_se":
+                _send_msg(conn, engine.measure_se(
+                    int(req.get("rounds", 10)),
+                    float(req.get("deadline_s", 120.0))))
+            elif cmd == "reload_measure":
+                _send_msg(conn, engine.reload_measure(
+                    req.get("kw", {}), bool(req.get("single", False)),
+                    int(req.get("rounds", 20))))
             elif cmd == "shutdown":
                 _send_msg(conn, dict(ok=True))
                 break
