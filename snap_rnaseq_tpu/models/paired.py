@@ -316,7 +316,16 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
                         read_len: int, genome_size: int,
                         sched_static: tuple = None):
     B = reads0.shape[0]
-    S = schedule.shape[0]
+    S_all = schedule.shape[0]
+    # ACTIVE-POSITION lookups: the paired seed budget is position-based
+    # (IntersectingPairedEndAligner.cpp:266 — one lookup per position, hit
+    # or miss), so the active set is exactly each read's first num_seeds
+    # VALID positions — computable from the packed seeds BEFORE the
+    # expensive table lookup.  Looking up only those shrinks the cuckoo
+    # row gathers and every (B, S, ...) seed-space tensor by
+    # S_all/num_seeds (4x at the defaults) with bit-identical results
+    # (see seed_phase select_first_valid).
+    S = min(cfg.num_seeds, S_all)
     ecfg = cfg.end_config()
     # BOTH ENDS IN ONE PIPELINE: the per-end phase graph used to run twice
     # (two lax.conds of ~24 ms each on v5e, round-4 device profile), and a
@@ -338,99 +347,56 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
         jnp.stack([quals_cat, quals_cat[:, ::-1]], axis=1))
     seeds = sg.seed_phase(reads_cat, schedule, seed_len, ht_entries,
                           shard_start, shard_size, overflow,
-                          genome_size, sched_static, cuckoo)
+                          genome_size, sched_static, cuckoo,
+                          select_first_valid=S)
+    sel_pos = seeds["sel_pos"]                            # (2B, S)
+    sched_tab = sg.row_select(
+        jnp.broadcast_to(schedule[None, :], (B2, S_all)), sel_pos)
+    wraps_tab = sg.row_select(
+        jnp.broadcast_to(wraps[None, :], (B2, S_all)), sel_pos)
     cg = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
-    budget = sg.budget_phase(seeds["valid"], cg, wraps, ecfg)
+    budget = sg.budget_phase(seeds["valid"], cg, wraps_tab, ecfg)
 
-    def back_half(u_full, compact_per_read, score_scale=1):
-        """Same tier-ladder as the single engine's _align_batch: all
-        post-aggregation phases scale with the compact width, results
-        are bit-identical whenever the live candidates fit the tier;
-        score_scale widens the pooled scoring budgets in the wide
-        expand tier (see single.back_half)."""
-        tcfg = ecfg if compact_per_read == ecfg.compact_per_read else \
-            sg.SingleAlignerConfig(**{**ecfg.__dict__,
-                                      "compact_per_read":
-                                      compact_per_read})
-        s_cfg = ecfg if score_scale == 1 else sg.SingleAlignerConfig(
-            **{**ecfg.__dict__,
-               "score_budget_per_read": ecfg.score_budget_per_read
-               * score_scale})
-        u, _ = sg.compact_phase(u_full, B2, tcfg)
-        if ecfg.score_budget_per_read > 0:
-            sc = sg.filtered_score_phase(u, reads_cat, quals_cat, genome_p4,
-                                         piece_starts, s_cfg, seed_len,
-                                         read_len, genome_size, B2,
-                                         qlp_both=qlp_cat)
-        else:
-            sc = sg.score_phase(u, reads_cat, quals_cat, genome_p4,
-                                piece_starts, ecfg, seed_len, read_len,
-                                genome_size)
-        single_out = sg.replay_phase(u, sc, budget, reads_cat, B2, S, ecfg)
-        # cluster-representative flags for the probability mass: reuse
-        # the replay's final-limit filter by recomputing in_prob cheaply
-        dense = _dense_per_read(u, sc, sc["scored_ok"], B2,
-                                ecfg.cand_per_read)
-        end1_row = u["read"] >= B
-        return dict(dense=dense, single=single_out,
-                    n_scored0=(sc["scored_ok"] & ~end1_row).sum(),
-                    n_scored1=(sc["scored_ok"] & end1_row).sum(),
-                    score_overflow=sc.get("score_overflow",
-                                          jnp.int32(0)))
-
-    def from_cands(cands, compact_big, score_scale=1):
-        u_full = sg.aggregate_phase(cands)
-        if compact_big > 0:
-            # width cond disabled by default — the conditional op's operand
-            # shuffling costs more than the narrow tier saves on v5e (see
-            # single.from_cands / PERF.md round-4 xplane profile)
-            import os as _os
-            small = max(4, compact_big // 4)
-            if small < compact_big and \
-                    _os.environ.get("SNAP_TPU_COMPACT_TIER", "0") == "1":
-                eo = jax.lax.cond(
-                    u_full["live"].sum() <= B2 * small,
-                    lambda uu: back_half(uu, small, score_scale),
-                    lambda uu: back_half(uu, compact_big, score_scale),
-                    u_full)
-            else:
-                eo = back_half(u_full, compact_big, score_scale)
-        else:
-            sc = sg.score_phase(u_full, reads_cat, quals_cat, genome_p4,
-                                piece_starts, ecfg, seed_len, read_len,
-                                genome_size)
-            single_out = sg.replay_phase(u_full, sc, budget, reads_cat, B2,
-                                         S, ecfg)
-            end1_row = u_full["read"] >= B
-            eo = dict(dense=_dense_per_read(u_full, sc, sc["scored_ok"],
-                                            B2, ecfg.cand_per_read),
-                      single=single_out,
-                      n_scored0=(sc["scored_ok"] & ~end1_row).sum(),
-                      n_scored1=(sc["scored_ok"] & end1_row).sum(),
-                      score_overflow=jnp.int32(0))
+    def from_cands(cands, score_scale=1):
+        """Rowwise back half over the 2B concatenated end rows (see
+        single.rowwise_back_half): no pooled compaction, per-read LV
+        budget, all replay reductions rowwise.  The dense pair-join view
+        is the rowwise arrays themselves (W == cand_per_read)."""
+        u2, sc2, single_out = sg.rowwise_back_half(
+            cands, budget, reads_cat, quals_cat, genome_p4, piece_starts,
+            ecfg, seed_len, read_len, genome_size, S,
+            qlp_both=qlp_cat, score_scale=score_scale)
+        dense = sg.dense_topk_rowwise(u2, sc2, ecfg.cand_per_read)
+        score_overflow = single_out.pop("score_overflow")
+        # scalar counters don't survive the per-end row slicing below
+        for k in ("n_unique_candidates", "n_scored", "n_bucket2"):
+            single_out.pop(k, None)
+        eo = dict(dense=dense, single=single_out,
+                  n_scored0=sc2["scored_ok"][:B].sum(),
+                  n_scored1=sc2["scored_ok"][B:].sum(),
+                  score_overflow=score_overflow)
         # residual truncation of the tier that actually ran
         eo["truncated"] = cands["truncated"]
         eo["n_cand0"] = cands["live"][:B].sum()
         eo["n_cand1"] = cands["live"][B:].sum()
         return eo
 
-    cands = sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
+    cands = sg.expand_phase(seeds, budget, sched_tab, overflow, ecfg,
                             seed_len, read_len, ecfg.cand_per_read)
-    if (ecfg.overflow_tier and ecfg.cand_per_read > 0
-            and ecfg.compact_per_read > 0):
+    if ecfg.overflow_tier and ecfg.cand_per_read > 0:
         # candidate-overflow exact fallback (see single._align_batch):
         # 4x re-expand when the narrow tier truncated any hit list
         eo = jax.lax.cond(
             cands["truncated"].sum() > 0,
             lambda c: from_cands(
-                sg.expand_phase(seeds, budget, schedule, overflow, ecfg,
+                sg.expand_phase(seeds, budget, sched_tab, overflow, ecfg,
                                 seed_len, read_len,
                                 4 * ecfg.cand_per_read),
-                4 * ecfg.compact_per_read, score_scale=4),
-            lambda c: from_cands(c, ecfg.compact_per_read),
+                score_scale=4),
+            lambda c: from_cands(c),
             cands)
     else:
-        eo = from_cands(cands, ecfg.compact_per_read)
+        eo = from_cands(cands)
 
     # split the concatenated outputs back into per-end views; pooled
     # scalar counters (score_overflow, dense overflow) are attributed to

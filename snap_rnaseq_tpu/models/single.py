@@ -138,7 +138,8 @@ def piece_index_of(piece_starts: jnp.ndarray, loc: jnp.ndarray) -> jnp.ndarray:
 
 def seed_phase(reads, schedule, seed_len, ht_entries,
                shard_start, shard_size, overflow, genome_size,
-               sched_static=None, cuckoo=None):
+               sched_static=None, cuckoo=None,
+               select_first_valid: int = 0):
     """Pack + look up every scheduled seed.  Local to an index shard: seeds
     whose table lives elsewhere simply come back not-found (size 0).
 
@@ -147,10 +148,35 @@ def seed_phase(reads, schedule, seed_len, ht_entries,
 
     cuckoo: optional dict(ck_buckets, ck_stash) — the loop-free lookup
     layout (index/hash_index.py build_cuckoo_layout); when present, the
-    probe-chain table is bypassed entirely."""
+    probe-chain table is bypassed entirely.
+
+    select_first_valid=N: look up only each read's first N VALID schedule
+    positions.  Exact for the paired budget semantics
+    (seed_budget_per_position: IntersectingPairedEndAligner.cpp:266 counts
+    one lookup per position, hit or miss), where budget_phase's active set
+    is precisely the first num_seeds valid positions — so positions beyond
+    them can never contribute candidates, and skipping their (expensive)
+    table lookups changes nothing.  Packing stays full-schedule (static
+    slices, pure VPU — cheap); only the gather-heavy lookup shrinks.
+    Returns the selected position indices as out["sel_pos"] so the caller
+    can build per-read schedule/wraps tables."""
     packed = lk.pack_seeds(
         reads, sched_static if sched_static is not None else schedule,
         seed_len)
+    sel_pos = None
+    if select_first_valid:
+        S8 = select_first_valid
+        valid_all = packed["valid"]
+        v = valid_all.astype(jnp.int32)
+        rank = jnp.cumsum(v, axis=1) - v
+        match = valid_all[:, None, :] & (
+            rank[:, None, :] == jnp.arange(S8, dtype=jnp.int32)[None, :, None])
+        sel_pos = jnp.argmax(match, axis=2).astype(jnp.int32)   # (B, S8)
+        sel_ok = match.any(axis=2)
+        take = lambda x: jnp.take_along_axis(x, sel_pos, axis=1)
+        packed = dict(lo_f=take(packed["lo_f"]), hi_f=take(packed["hi_f"]),
+                      lo_r=take(packed["lo_r"]), hi_r=take(packed["hi_r"]),
+                      valid=sel_ok, n_hi_bits=packed["n_hi_bits"])
     if cuckoo is not None:
         found, fwd_val, rc_val = lk.lookup_seeds_cuckoo(
             packed, cuckoo["ck_buckets"], cuckoo["ck_buckets2"],
@@ -160,13 +186,16 @@ def seed_phase(reads, schedule, seed_len, ht_entries,
             packed, ht_entries, shard_start, shard_size)
     cnt_f, base_f = lk.expand_counts(fwd_val, overflow, genome_size)
     cnt_r, base_r = lk.expand_counts(rc_val, overflow, genome_size)
-    return dict(
+    out = dict(
         valid=packed["valid"],
         found=found,
         counts=jnp.stack([cnt_f, cnt_r], axis=2),     # (B,S,2)
         bases=jnp.stack([base_f, base_r], axis=2),
         vals=jnp.stack([fwd_val, rc_val], axis=2),
     )
+    if sel_pos is not None:
+        out["sel_pos"] = sel_pos
+    return out
 
 
 def budget_phase(valid, counts_global, wraps, cfg: SingleAlignerConfig):
@@ -197,7 +226,10 @@ def budget_phase(valid, counts_global, wraps, cfg: SingleAlignerConfig):
         active_pos = cum_before < cfg.num_seeds
     applied_act = applied & active_pos[:, :, None]
     n_applied_after = jnp.cumsum(applied_act.astype(jnp.int32), axis=1)
-    most = (wraps + 1).astype(jnp.int32)[None, :, None]
+    # wraps may be per-read (B, S) when the caller pre-selected active
+    # positions (seed_phase select_first_valid), or shared (S,)
+    most = ((wraps + 1).astype(jnp.int32)[:, :, None] if wraps.ndim == 2
+            else (wraps + 1).astype(jnp.int32)[None, :, None])
     lp_after = jax.lax.cummax(n_applied_after // most, axis=1)
     lp_pre = jnp.concatenate(
         [jnp.zeros((B, 1, 2), jnp.int32), lp_after[:, :-1, :]], axis=1)
@@ -256,7 +288,10 @@ def expand_phase(seeds, budget, schedule, overflow, cfg, seed_len, read_len,
     g_val = row_select(vals.reshape(B, S * 2), group)
     hit = lk.gather_hit(within, None, g_base, g_val, overflow)
 
-    pos_at = schedule[s_idx]
+    # schedule may be per-read (B, S) when seed_phase pre-selected active
+    # positions; row_select beats a tiny-table gather on TPU either way
+    pos_at = (row_select(schedule, s_idx) if schedule.ndim == 2
+              else schedule[s_idx])
     offset = jnp.where(dir_idx == 0, pos_at, read_len - seed_len - pos_at)
     cand_loc = (hit - offset.astype(jnp.uint32)).astype(jnp.int32)
     cand_live = cand_live & (hit >= offset.astype(jnp.uint32))
@@ -271,22 +306,8 @@ def expand_phase(seeds, budget, schedule, overflow, cfg, seed_len, read_len,
                 live=cand_live, truncated=n_truncated)
 
 
-def aggregate_phase(c):
-    """Sort candidates by (read, dir, loc) and reduce into unique candidates
-    + element stats (weight, creation bound, last order; element = 48-wide
-    bucket, BaseAligner.h:196-226).
-
-    The candidate arrays arrive as (rows, width) with one READ per row
-    (expand_phase's natural shape), so the sort is a cheap ROWWISE 2-key
-    (dir, loc) lax.sort instead of a global 3-key lexsort — same grouping,
-    ~W log^2 W vs C log^2 C comparator stages.  All downstream segment
-    reductions are order-invariant within a (read, dir, loc) group, so the
-    within-group order key the global sort had is unnecessary.
-
-    The segment reductions stay ROWWISE too (ops/rowscan.py): segments
-    never cross rows, so each one is log2(W) lane-shift steps instead of a
-    C-element scatter + gather-back (jax.ops.segment_*) — the flat version
-    was the engine's biggest non-gather cost block (PERF.md round 4)."""
+def _aggregate_rows(c):
+    """Rowwise core of aggregate_phase: returns (rows, W) arrays."""
     # Pack the sort down to one u32 key + three payloads: every operand
     # rides through ~log^2(W) comparator stages, so fewer/narrower
     # operands are a direct win.  Key = dir<<31 | loc reproduces the
@@ -341,18 +362,44 @@ def aggregate_phase(c):
                         ((cand_last - 1) & jnp.uint32(0x3FF)).astype(jnp.int32),
                         0)
 
+    return dict(
+        dir=d_, loc=l_,
+        off=off_out,
+        order=cand_first_order,
+        round=cand_first_round,
+        weight=elem_weight,
+        lp=elem_lp,
+        live=cand_b & live_,          # one representative per unique candidate
+    )
+
+
+def aggregate_phase(c):
+    """Sort candidates by (read, dir, loc) and reduce into unique candidates
+    + element stats (weight, creation bound, last order; element = 48-wide
+    bucket, BaseAligner.h:196-226).
+
+    The candidate arrays arrive as (rows, width) with one READ per row
+    (expand_phase's natural shape), so the sort is a cheap ROWWISE 2-key
+    (dir, loc) lax.sort instead of a global 3-key lexsort — same grouping,
+    ~W log^2 W vs C log^2 C comparator stages.  All downstream segment
+    reductions are order-invariant within a (read, dir, loc) group, so the
+    within-group order key the global sort had is unnecessary.
+
+    The segment reductions stay ROWWISE too (ops/rowscan.py): segments
+    never cross rows, so each one is log2(W) lane-shift steps instead of a
+    C-element scatter + gather-back (jax.ops.segment_*) — the flat version
+    was the engine's biggest non-gather cost block (PERF.md round 4).
+
+    This wrapper flattens for the legacy flat back half (trace tool, unit
+    tests); the engines use _aggregate_rows + the rowwise back half."""
+    u2 = _aggregate_rows(c)
+    rows, W = u2["dir"].shape
     r_ = jnp.broadcast_to(jnp.arange(rows, dtype=jnp.int32)[:, None],
                           (rows, W))
     flat = lambda x: x.reshape(rows * W)
-    return dict(
-        read=flat(r_), dir=flat(d_), loc=flat(l_),
-        off=flat(off_out),
-        order=flat(cand_first_order),
-        round=flat(cand_first_round),
-        weight=flat(elem_weight),
-        lp=flat(elem_lp),
-        live=flat(cand_b & live_),    # one representative per unique candidate
-    )
+    out = {k: flat(v) for k, v in u2.items()}
+    out["read"] = flat(r_)
+    return out
 
 
 def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
@@ -837,6 +884,342 @@ def _multi_hits(u_read, loc_adj, u_dir, score, u_order, in_play, B, C,
 
 
 # ----------------------------------------------------------------------
+# rowwise back half (round 5)
+# ----------------------------------------------------------------------
+# The flat back half (compact_phase -> filtered_score_phase ->
+# replay_phase above) pools candidates across reads: every selection is a
+# C-scale cumsum + scatter + gather-back, every budget a lax.cond whose
+# operand tuple shuffles between memory spaces.  The round-4 device
+# profile (PERF.md) showed the engine bound by exactly that machinery
+# (~72 ms/batch of async HBM<->scratch migrations + scatter fusions), not
+# by compute.  The rowwise formulation keeps every post-aggregation array
+# (rows, W): selections become lane ranks + small take_along gathers,
+# segment ops become log2(W) lane shifts (ops/rowscan.py), the pooled
+# compaction disappears entirely (W already bounds candidates per read —
+# strictly MORE exact: pooled-cap truncation can no longer drop live
+# candidates), and the per-read LV budget replaces the pooled tier conds.
+# The flat functions are kept for the per-read trace tool and unit tests.
+
+def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
+                        seed_len, read_len, genome_size,
+                        qlp_both: jnp.ndarray | None = None,
+                        score_scale: int = 1):
+    """Rowwise scoring: bit-parallel whole-read prefilter + anchored
+    substitution fast path on ALL (rows, W) candidates; full LV + backtrace
+    on up to J survivors per read, selected by lane rank.
+
+    Same exactness contract as filtered_score_phase (whole_dist > e_max
+    implies the seed-split LV gate fails; ham == wdist implies the anchored
+    pure-substitution closed form) with the pooled score budget replaced by
+    a per-read cap J = score_budget_per_read * score_scale; rows beyond J
+    are counted in score_overflow, like the reference's candidate-pool cap
+    (IntersectingPairedEndAligner.h:33)."""
+    from ..ops.bitpar import bitpar_distance
+    e_max = cfg.e_max
+    R, W = u2["dir"].shape
+    live = u2["live"]
+    loc = jnp.where(live, u2["loc"], 0)
+    flat_loc = loc.reshape(R * W)
+
+    WIN = read_len + 2 * MAX_K
+    window = gather_windows(genome_p4, flat_loc - MAX_K, width=WIN)
+    window = window.reshape(R, W, WIN)
+
+    if cfg.score_budget_per_read == 0:
+        # prefilter disabled: full LV on every candidate slot
+        u_flat = dict(
+            read=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                                  (R, W)).reshape(R * W),
+            dir=u2["dir"].reshape(R * W), loc=u2["loc"].reshape(R * W),
+            off=u2["off"].reshape(R * W), live=live.reshape(R * W))
+        sc = score_phase(u_flat, reads, quals, genome_p4, piece_starts,
+                         cfg, seed_len, read_len, genome_size,
+                         window=window.reshape(R * W, WIN),
+                         qlp_both=qlp_both)
+        return dict(score=sc["score"].reshape(R, W),
+                    logp=sc["logp"].reshape(R, W),
+                    loc_adj=sc["loc_adj"].reshape(R, W),
+                    scored_ok=sc["scored_ok"].reshape(R, W),
+                    score_overflow=jnp.int32(0),
+                    n_bucket2=jnp.int32(0), n_fast=jnp.int32(0))
+
+    rc_reads = COMP_LUT[reads[:, ::-1].astype(jnp.int32)]
+    is_rc = (u2["dir"] == 1)[:, :, None]
+    # broadcast select instead of a (C, L) gather: each row only ever
+    # needs its own read or its RC
+    sel = jnp.where(is_rc, rc_reads[:, None, :], reads[:, None, :])
+
+    want = read_len + e_max
+    text = window[:, :, MAX_K:MAX_K + want]
+    t_len = jnp.full((R * W,), want, jnp.int32)
+    wdist = bitpar_distance(sel.reshape(R * W, read_len),
+                            text.reshape(R * W, want), t_len,
+                            P=read_len).reshape(R, W)
+
+    # piece-boundary clipping predicate (same as score_phase)
+    pidx = piece_index_of(piece_starts, flat_loc).reshape(R, W)
+    next_start = jnp.where(
+        pidx + 1 < piece_starts.shape[0],
+        piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
+        genome_size)
+    crosses = loc + read_len + MAX_K > jnp.minimum(next_start, genome_size)
+
+    if qlp_both is None:
+        from ..ops.lv import phred_log_prob_device
+        qlp_both = phred_log_prob_device(
+            jnp.stack([quals, quals[:, ::-1]], axis=1))
+
+    score = jnp.full((R, W), BIG, jnp.int32)
+    logp = jnp.full((R, W), NEG_INF, jnp.float32)
+    loc_adj = u2["loc"]
+    scored_ok = jnp.zeros((R, W), bool)
+
+    fast = jnp.zeros((R, W), bool)
+    if os.environ.get("SNAP_TPU_FAST_SUB", "1") != "0":
+        # anchored pure-substitution closed form (see filtered_score_phase
+        # for the exactness argument and the documented equal-cost-indel
+        # deviation)
+        text0 = window[:, :, MAX_K:MAX_K + read_len]
+        mm = sel != text0
+        ham = mm.sum(axis=2).astype(jnp.int32)
+        fast = live & ~crosses & (wdist <= e_max) & (ham == wdist)
+        qlp_sel = jnp.where(is_rc, qlp_both[:, None, 1, :],
+                            qlp_both[:, None, 0, :])
+        logp_f = (jnp.where(mm, qlp_sel, 0.0).sum(axis=2)
+                  + (read_len - ham).astype(jnp.float32)
+                  * LOG_ONE_MINUS_SNP)
+        score = jnp.where(fast, ham, score)
+        logp = jnp.where(fast, logp_f, logp)
+        scored_ok = fast
+
+    # LV rows: everything live that the fast path didn't settle and the
+    # prefilter didn't reject — selected per READ by lane rank
+    need = live & ~fast & (wdist <= e_max)
+    J = min(W, max(2, cfg.score_budget_per_read * score_scale))
+    rank = jnp.cumsum(need.astype(jnp.int32), axis=1) - need.astype(jnp.int32)
+    match = need[:, None, :] & (rank[:, None, :]
+                                == jnp.arange(J, dtype=jnp.int32)[None, :, None])
+    sel_w = jnp.argmax(match, axis=2).astype(jnp.int32)       # (R, J)
+    lv_valid = match.any(axis=2)
+    overflow = jnp.maximum(need.sum(axis=1) - J, 0).sum()
+
+    take = lambda x: jnp.take_along_axis(x, sel_w, axis=1)
+    u_sub = dict(
+        read=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                              (R, J)).reshape(R * J),
+        dir=take(u2["dir"]).reshape(R * J),
+        loc=take(u2["loc"]).reshape(R * J),
+        off=take(u2["off"]).reshape(R * J),
+        live=lv_valid.reshape(R * J))
+    win_sub = jnp.take_along_axis(window, sel_w[:, :, None],
+                                  axis=1).reshape(R * J, WIN)
+    sc_sub = score_phase(u_sub, reads, quals, genome_p4, piece_starts, cfg,
+                         seed_len, read_len, genome_size,
+                         window=win_sub, qlp_both=qlp_both)
+
+    # scatter the J results back into the (R, W) lanes (R*J tiny scatter)
+    rr = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, J))
+    tr = jnp.where(lv_valid, rr, R).reshape(R * J)
+    tc = jnp.where(lv_valid, sel_w, 0).reshape(R * J)
+    score = score.at[tr, tc].set(sc_sub["score"].reshape(R * J), mode="drop")
+    logp = logp.at[tr, tc].set(sc_sub["logp"].reshape(R * J), mode="drop")
+    loc_adj = loc_adj.at[tr, tc].set(sc_sub["loc_adj"].reshape(R * J),
+                                     mode="drop")
+    scored_ok = scored_ok.at[tr, tc].set(
+        sc_sub["scored_ok"].reshape(R * J), mode="drop")
+
+    return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok,
+                score_overflow=overflow,
+                n_bucket2=jnp.int32(0), n_fast=fast.sum())
+
+
+def rowwise_replay_phase(u2, sc2, budget, reads, S, cfg: SingleAlignerConfig):
+    """replay_phase with every segment reduction as a row reduction or a
+    rowwise lane scan — no flat scatters.  Identical selection math."""
+    maxK, extra = cfg.max_k, cfg.extra_search_depth
+    R, W = u2["dir"].shape
+    score, logp, loc_adj = sc2["score"], sc2["logp"], sc2["loc_adj"]
+    scored_ok = sc2["scored_ok"]
+    from ..ops.rowscan import seg_broadcast
+
+    n_count = (reads == 4).sum(axis=1)
+
+    round_of = jnp.clip(u2["round"], 0, S - 1)
+    rmask = round_of[:, None, :] == jnp.arange(S, dtype=jnp.int32)[None, :, None]
+    best_by_round = jnp.min(
+        jnp.where(rmask & scored_ok[:, None, :], score[:, None, :], BIG),
+        axis=2)                                              # (R, S)
+    best_upto = jax.lax.cummin(best_by_round, axis=1)
+    limit_r = jnp.minimum(best_upto, maxK) + extra
+    lp_after = budget["lp_after"]
+    stop_r = jnp.minimum(lp_after[:, :, 0], lp_after[:, :, 1]) > limit_r
+    r_star = jnp.where(stop_r.any(axis=1),
+                       jnp.argmax(stop_r, axis=1).astype(jnp.int32),
+                       jnp.int32(S - 1))
+
+    in_play = scored_ok & (round_of <= r_star[:, None])
+    score_f = jnp.where(in_play, score, BIG)
+
+    comp = jnp.where(score_f < BIG,
+                     score_f.astype(jnp.float32) * 1e6
+                     - jnp.clip(logp, -1e5, 0),
+                     jnp.float32(3e12))
+    m1 = jnp.min(comp, axis=1)
+    cand1 = comp <= m1[:, None]
+    m2 = jnp.min(jnp.where(cand1, u2["order"], BIG), axis=1)
+    cand2 = cand1 & (u2["order"] == m2[:, None])
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    winner_col = jnp.min(jnp.where(cand2, cols, BIG), axis=1)
+    has_best = jnp.min(score_f, axis=1) < BIG
+    winner_col = jnp.where(has_best, winner_col, 0)
+    pick = lambda x: jnp.take_along_axis(x, winner_col[:, None],
+                                         axis=1)[:, 0]
+    best_score = pick(score_f)
+    best_loc = pick(loc_adj)
+    best_dir = pick(u2["dir"])
+    best_logp = pick(logp)
+
+    final_limit = jnp.minimum(jnp.minimum(best_score, maxK) + extra,
+                              cfg.e_max)
+    in_prob = in_play & (score <= final_limit[:, None]) \
+        & (u2["lp"] <= final_limit[:, None])
+
+    col0 = jnp.zeros((R, W), bool).at[:, 0].set(True)
+    d_prev = jnp.pad(u2["dir"], ((0, 0), (1, 0)))[:, :-1]
+    l_prev = jnp.pad(loc_adj, ((0, 0), (1, 0)))[:, :-1]
+    gap_new = col0 | (u2["dir"] != d_prev) \
+        | (loc_adj - l_prev > MAX_MERGE_DIST)
+    clus_key = jnp.where(in_prob,
+                         score.astype(jnp.float32) * 1e6
+                         - jnp.clip(logp, -1e5, 0),
+                         jnp.float32(3e12))
+    clus_min = seg_broadcast(clus_key, gap_new, jnp.minimum,
+                             jnp.float32(3e12))
+    is_clus_best = in_prob & (clus_key <= clus_min)
+    cum_best = jnp.cumsum(is_clus_best.astype(jnp.int32), axis=1)
+    first_rank = seg_broadcast(jnp.where(is_clus_best, cum_best, BIG),
+                               gap_new, jnp.minimum, BIG)
+    is_clus_best = is_clus_best & (cum_best == first_rank)
+
+    clus_logp = jnp.where(is_clus_best, logp, NEG_INF)
+    read_max = jnp.maximum(jnp.max(clus_logp, axis=1), -1e29)
+    psum = jnp.sum(jnp.where(is_clus_best,
+                             jnp.exp(clus_logp - read_max[:, None]), 0.0),
+                   axis=1)
+    log_pall = jnp.where(psum > 0, jnp.log(psum) + read_max, NEG_INF)
+
+    not_best = is_clus_best & (cols != winner_col[:, None])
+    psum_o = jnp.sum(jnp.where(not_best,
+                               jnp.exp(clus_logp - read_max[:, None]), 0.0),
+                     axis=1)
+    log_pother = jnp.where(psum_o > 0, jnp.log(psum_o) + read_max, NEG_INF)
+
+    popular_n = (budget["popular"] & budget["active_pos"][:, :, None]
+                 & (jnp.arange(S)[None, :, None] <= r_star[:, None, None])
+                 ).sum(axis=(1, 2))
+
+    mapq = _compute_mapq(log_pall, best_logp, log_pother, best_score,
+                         popular_n)
+
+    applied_any = budget["applied_act"].any(axis=(1, 2))
+    aligned = has_best & (best_score <= maxK)
+    if cfg.stop_on_first:
+        result = jnp.where(aligned, SINGLE_HIT,
+                           jnp.where(applied_any, NOT_FOUND, MULTIPLE_HITS))
+    else:
+        result = jnp.where(
+            aligned,
+            jnp.where(mapq >= MAPQ_LIMIT_FOR_SINGLE_HIT, SINGLE_HIT,
+                      MULTIPLE_HITS),
+            jnp.where(applied_any, NOT_FOUND, MULTIPLE_HITS))
+    result = jnp.where(n_count > maxK, NOT_FOUND, result)
+    ok = aligned & (n_count <= maxK)
+    out = dict(result=result,
+               loc=jnp.where(ok, best_loc, jnp.int32(-1)),
+               direction=best_dir,
+               score=jnp.where(has_best, best_score, -1),
+               mapq=jnp.where(ok, mapq, 0),
+               log_pbest=best_logp, log_pall=log_pall,
+               popular=popular_n)
+    if cfg.max_hits_to_get > 0:
+        out.update(_multi_hits_rowwise(u2, loc_adj, score, in_play,
+                                       cfg.max_hits_to_get, cfg.e_max))
+    return out
+
+
+def _multi_hits_rowwise(u2, loc_adj, score, in_play, max_get, e_max):
+    """fillHitsFound analog, rowwise: per-row sort by (score, order)."""
+    R, W = score.shape
+    score_m = jnp.where(in_play, score, BIG)
+    s_, o_, l_, d_ = jax.lax.sort(
+        (score_m, u2["order"], loc_adj, u2["dir"]), dimension=1, num_keys=2,
+        is_stable=True)
+    first_score = s_[:, :1]
+    okh = (s_ < BIG) & (s_ < first_score + 4) & (s_ <= e_max)
+    rank = jnp.cumsum(okh.astype(jnp.int32), axis=1) - 1
+    keep = okh & (rank < max_get)
+    rr = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, W))
+    tr = jnp.where(keep, rr, R).reshape(R * W)
+    tc = jnp.where(keep, rank, 0).reshape(R * W)
+    mh_loc = jnp.full((R, max_get), INVALID_GENOME_LOCATION, jnp.uint32)
+    mh_dir = jnp.zeros((R, max_get), jnp.int32)
+    mh_score = jnp.full((R, max_get), -1, jnp.int32)
+    mh_loc = mh_loc.at[tr, tc].set(
+        l_.astype(jnp.uint32).reshape(R * W), mode="drop")
+    mh_dir = mh_dir.at[tr, tc].set(d_.reshape(R * W), mode="drop")
+    mh_score = mh_score.at[tr, tc].set(s_.reshape(R * W), mode="drop")
+    mh_n = keep.sum(axis=1)
+    return dict(mh_loc=mh_loc, mh_dir=mh_dir, mh_score=mh_score, mh_n=mh_n)
+
+
+def dense_topk_rowwise(u2, sc2, K):
+    """(B, K) dense view of the scored candidates for the pair join.
+
+    Single-chip W == K: the rowwise arrays ARE the dense view.  Wider rows
+    (sharded all_gather: W = n_idx * cand_per_read) keep the first K
+    scored candidates in (dir, loc) row order — the same selection the
+    flat _dense_per_read made (rank among scored rows, read-sorted)."""
+    R, W = sc2["score"].shape
+    live = u2["live"] & sc2["scored_ok"]
+    loc = jnp.where(live, sc2["loc_adj"], 0)
+    score = jnp.where(live, sc2["score"], BIG)
+    logp = jnp.where(live, sc2["logp"], NEG_INF)
+    if W == K:
+        return dict(loc=loc, dir=u2["dir"], score=score, logp=logp,
+                    live=live, in_prob=live, overflow=jnp.int32(0))
+    sel = live.astype(jnp.int32)
+    rank = jnp.cumsum(sel, axis=1) - sel
+    keep = live & (rank < K)
+    match = keep[:, None, :] & (rank[:, None, :]
+                                == jnp.arange(K, dtype=jnp.int32)[None, :, None])
+    sel_w = jnp.argmax(match, axis=2).astype(jnp.int32)       # (R, K)
+    valid = match.any(axis=2)
+    take = lambda x, fill: jnp.where(
+        valid, jnp.take_along_axis(x, sel_w, axis=1), fill)
+    return dict(loc=take(loc, 0), dir=take(u2["dir"], 0),
+                score=take(score, BIG), logp=take(logp, NEG_INF),
+                live=valid, in_prob=valid,
+                overflow=(live & ~keep).sum())
+
+
+def rowwise_back_half(cands, budget, reads, quals, genome_p4, piece_starts,
+                      cfg, seed_len, read_len, genome_size, S,
+                      qlp_both=None, score_scale: int = 1):
+    """aggregate -> rowwise score -> rowwise replay.  Returns (u2, sc2,
+    out) where out carries the replay results + device counters."""
+    u2 = _aggregate_rows(cands)
+    sc2 = rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts,
+                              cfg, seed_len, read_len, genome_size,
+                              qlp_both=qlp_both, score_scale=score_scale)
+    out = rowwise_replay_phase(u2, sc2, budget, reads, S, cfg)
+    out["score_overflow"] = sc2["score_overflow"]
+    out["n_unique_candidates"] = u2["live"].sum()
+    out["n_scored"] = sc2["scored_ok"].sum()
+    out["n_bucket2"] = sc2["n_bucket2"]
+    return u2, sc2, out
+
+
+# ----------------------------------------------------------------------
 # single-chip composition
 # ----------------------------------------------------------------------
 
@@ -857,66 +1240,14 @@ def _align_batch(reads, quals,
                        sched_static, cuckoo)
     counts_global = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
     budget = budget_phase(seeds["valid"], counts_global, wraps, cfg)
-    def back_half(u_full, compact_per_read, score_scale=1):
-        """compact -> score -> replay at a given compact width.  A tier
-        ladder below cond-selects the narrowest width the live candidates
-        fit in: every phase after compaction scales with the width, and the
-        result is bit-identical across tiers whenever the live count fits
-        (the extra rows of a wider tier are dead).  score_scale multiplies
-        the pooled scoring budgets in the WIDE expand tier so the extra
-        candidates it carries don't displace true hits from scoring."""
-        tier_cfg = cfg if compact_per_read == cfg.compact_per_read else \
-            SingleAlignerConfig(**{**cfg.__dict__,
-                                   "compact_per_read": compact_per_read})
-        s_cfg = cfg if score_scale == 1 else SingleAlignerConfig(
-            **{**cfg.__dict__,
-               "score_budget_per_read": cfg.score_budget_per_read
-               * score_scale})
-        uu, compact_overflow = compact_phase(u_full, B, tier_cfg)
-        if cfg.score_budget_per_read > 0:
-            sc = filtered_score_phase(uu, reads, quals, genome_p4,
-                                      piece_starts, s_cfg, seed_len,
-                                      read_len, genome_size, B)
-        else:
-            sc = score_phase(uu, reads, quals, genome_p4, piece_starts, cfg,
-                             seed_len, read_len, genome_size)
-        out = replay_phase(uu, sc, budget, reads, B, S, cfg)
-        out["score_overflow"] = sc.get("score_overflow", jnp.int32(0)) + \
-            compact_overflow
-        out["n_unique_candidates"] = uu["live"].sum()
-        out["n_scored"] = sc["scored_ok"].sum()
-        out["n_bucket2"] = sc.get("n_bucket2", jnp.int32(0))
-        return out
 
-    def from_cands(cands, compact_big, score_scale=1):
-        """aggregate + the compact tier ladder for one expand width."""
-        u = aggregate_phase(cands)
-        if compact_big > 0:
-            # The small/big width cond is OFF by default: on v5e the
-            # conditional op itself costs ~28 ms/batch moving its ~29-array
-            # operand tuple (the whole aggregate output + read/genome
-            # arrays) between memory spaces — more than the wide back half
-            # saves (round-4 xplane profile, tools/xprof_dump.py).  The
-            # narrow tier only pays off when branch overhead is cheap;
-            # SNAP_TPU_COMPACT_TIER=1 re-enables it for A/B.
-            small = max(4, compact_big // 4)
-            if small < compact_big and \
-                    os.environ.get("SNAP_TPU_COMPACT_TIER", "0") == "1":
-                out = jax.lax.cond(
-                    u["live"].sum() <= B * small,
-                    lambda uu: back_half(uu, small, score_scale),
-                    lambda uu: back_half(uu, compact_big, score_scale),
-                    u)
-            else:
-                out = back_half(u, compact_big, score_scale)
-        else:
-            sc = score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
-                             seed_len, read_len, genome_size)
-            out = replay_phase(u, sc, budget, reads, B, S, cfg)
-            out["score_overflow"] = jnp.int32(0)
-            out["n_unique_candidates"] = u["live"].sum()
-            out["n_scored"] = sc["scored_ok"].sum()
-            out["n_bucket2"] = jnp.int32(0)
+    def from_cands(cands, score_scale=1):
+        """Rowwise back half for one expand width (see rowwise_back_half).
+        score_scale widens the per-read LV budget in the WIDE expand tier
+        so the extra candidates it carries don't displace true hits."""
+        _u2, _sc2, out = rowwise_back_half(
+            cands, budget, reads, quals, genome_p4, piece_starts, cfg,
+            seed_len, read_len, genome_size, S, score_scale=score_scale)
         out["truncated"] = cands["truncated"]
         # per-phase device counters (BaseAligner.h:113-118 analog)
         out["n_lookups"] = seeds["found"].sum()
@@ -925,9 +1256,8 @@ def _align_batch(reads, quals,
 
     cands = expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
                          read_len, cfg.cand_per_read)
-    if not (cfg.overflow_tier and cfg.cand_per_read > 0
-            and cfg.compact_per_read > 0):
-        return from_cands(cands, cfg.compact_per_read)
+    if not (cfg.overflow_tier and cfg.cand_per_read > 0):
+        return from_cands(cands)
     # Candidate-overflow exact fallback: if the narrow expand truncated ANY
     # read's hit list (repeat-dense regime — the silent-accuracy-loss spot
     # flagged against IntersectingPairedEndAligner.h:33's 1e6-candidate
@@ -940,8 +1270,8 @@ def _align_batch(reads, quals,
         lambda c: from_cands(
             expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
                          read_len, 4 * cfg.cand_per_read),
-            4 * cfg.compact_per_read, score_scale=4),
-        lambda c: from_cands(c, cfg.compact_per_read),
+            score_scale=4),
+        lambda c: from_cands(c),
         cands)
 
 

@@ -234,69 +234,33 @@ def _end_pipeline(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
     for k in ("read", "dir", "loc", "order", "offset", "round", "lp", "live"):
         g = jax.lax.all_gather(cands[k], "index")     # (n_idx, B, CPR)
         # one row per READ (all shards' candidates side by side) — the
-        # shape aggregate_phase's rowwise sort groups on
+        # shape _aggregate_rows' rowwise sort groups on
         gathered[k] = jnp.swapaxes(g, 0, 1).reshape(B, -1)
-    u_full = sg.aggregate_phase(gathered)
+    # Rowwise back half (models/single.py round 5): the (B, Wg) candidate
+    # rows are replicated over 'index' after the all_gather; the scoring
+    # work — the FLOPs — is re-split over 'index' by slicing the LANE axis
+    # (Wg = n_idx * CPR is divisible by construction), then all_gather-ed
+    # back; the cheap rowwise replay runs replicated.
+    u2 = sg._aggregate_rows(gathered)
     me = jax.lax.axis_index("index")
-
-    def back_half(u_full, compact_per_read):
-        if compact_per_read > 0:
-            tcfg = cfg if compact_per_read == cfg.compact_per_read else \
-                sg.SingleAlignerConfig(**{**cfg.__dict__,
-                                          "compact_per_read":
-                                          compact_per_read})
-            u, _ = sg.compact_phase(u_full, B, tcfg)
-        else:
-            u = u_full
-        C_total = u["read"].shape[0]
-        if C_total % n_idx:
-            # pad with dead rows so the 'index' re-split is exact
-            pad = n_idx - C_total % n_idx
-            u = {k: jnp.concatenate(
-                    [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)])
-                 for k, v in u.items()}
-            u["loc"] = u["loc"].at[-pad:].set(sg.BIG)
-            C_total += pad
-        C_slice = C_total // n_idx
-        u_slice = {k: jax.lax.dynamic_slice_in_dim(v, me * C_slice, C_slice)
-                   for k, v in u.items()}
-        if cfg.score_budget_per_read > 0:
-            sc_slice = sg.filtered_score_phase(
-                u_slice, reads_l, quals_l, genome, pieces, cfg, seed_len,
-                read_len, genome_size, B)
-            scalars = {k: sc_slice.pop(k)
-                       for k in ("score_overflow", "n_bucket2", "n_fast")}
-        else:
-            sc_slice = sg.score_phase(u_slice, reads_l, quals_l, genome,
-                                      pieces, cfg, seed_len, read_len,
-                                      genome_size)
-            scalars = {}
-        sc = {k: jax.lax.all_gather(v, "index").reshape(
-                  C_total, *v.shape[1:]) for k, v in sc_slice.items()}
-        for k, v in scalars.items():
-            sc[k] = jax.lax.psum(v, "index")
-        single_out = sg.replay_phase(u, sc, budget, reads_l, B, S, cfg)
-        # fixed-shape (B, K) dense view for the paired join — computed
-        # inside the tier so the cond branches agree on output types
-        from ..models.paired import _dense_per_read
-        dense = _dense_per_read(u, sc, sc["scored_ok"], B,
-                                cfg.cand_per_read)
-        return dense, single_out
-
-    if cfg.compact_per_read > 0:
-        small = max(4, cfg.compact_per_read // 4)
-        if small < cfg.compact_per_read:
-            # u_full is replicated over 'index' (it came from an
-            # all_gather), so every device picks the same tier
-            dense, single_out = jax.lax.cond(
-                u_full["live"].sum() <= B * small,
-                lambda uu: back_half(uu, small),
-                lambda uu: back_half(uu, cfg.compact_per_read),
-                u_full)
-        else:
-            dense, single_out = back_half(u_full, cfg.compact_per_read)
-    else:
-        dense, single_out = back_half(u_full, 0)
+    Wg = u2["dir"].shape[1]
+    W_slice = Wg // n_idx
+    u_slice = {k: jax.lax.dynamic_slice_in_dim(v, me * W_slice, W_slice,
+                                               axis=1)
+               for k, v in u2.items()}
+    sc_slice = sg.rowwise_score_phase(
+        u_slice, reads_l, quals_l, genome, pieces, cfg, seed_len,
+        read_len, genome_size)
+    scalars = {k: sc_slice.pop(k)
+               for k in ("score_overflow", "n_bucket2", "n_fast")}
+    sc2 = {}
+    for k, v in sc_slice.items():
+        g = jax.lax.all_gather(v, "index")            # (n_idx, B, W_slice)
+        sc2[k] = jnp.swapaxes(g, 0, 1).reshape(B, Wg)
+    single_out = sg.rowwise_replay_phase(u2, sc2, budget, reads_l, S, cfg)
+    single_out["score_overflow"] = jax.lax.psum(scalars["score_overflow"],
+                                                "index")
+    dense = sg.dense_topk_rowwise(u2, sc2, cfg.cand_per_read)
     single_out["n_found"] = jax.lax.psum(seeds["found"].sum(), "index")
     return dense, single_out, budget, cands["truncated"]
 
@@ -479,6 +443,8 @@ def _sharded_align(reads, quals, ht_entries, shard_start,
         # scalar stats don't fit P('data') out_specs; fold into a per-read vec
         out["n_lookups"] = jnp.broadcast_to(
             out.pop("n_found")[None], (B,))
+        out["score_overflow_vec"] = jnp.broadcast_to(
+            out.pop("score_overflow")[None], (B,))
         return out
 
     from jax.experimental.shard_map import shard_map
