@@ -76,6 +76,183 @@ class PairedEndPipeline:
 
     def run(self, fq0: str, fq1: str, out_path: str,
             command_line: str = "snap-rna-tpu"):
+        """FASTQ pair -> SAM/BAM.  Plain/gz FASTQ inputs with SAM-text
+        output take the bulk-vectorized path (io/bulk.py) — the reference's
+        C++-speed ingest/serialize analog; everything else (BAM output,
+        SAM/BAM input, pre-built iterators) uses the per-read path."""
+        if (isinstance(fq0, (str, os.PathLike)) and fq1 is not None
+                and not isinstance(fq1, (list, tuple))
+                and not isinstance(fq0, (list, tuple))
+                and not str(fq0).lower().endswith((".sam", ".bam"))
+                and not str(out_path).lower().endswith(".bam")
+                and os.environ.get("SNAP_TPU_BULK_IO", "1") == "1"):
+            return self._run_bulk(fq0, fq1, out_path, command_line)
+        return self._run_legacy(fq0, fq1, out_path, command_line)
+
+    def _run_bulk(self, fq0, fq1, out_path, command_line):
+        from ..io.bulk import (BulkSamEmitter, build_end_block,
+                               ids_match_vec, paired_record_blocks)
+        opt = self.opt
+        stats = self.stats
+        maxk = self.aligner.cfg.max_k
+        genome = self.index.genome
+        out, builder = make_output_and_builder(
+            out_path, genome, sorted_output=opt.sorted_output,
+            use_m=opt.use_m, read_group=opt.read_group,
+            command_line=command_line,
+            mark_duplicates="d" not in opt.suppress,
+            build_index="i" not in opt.suppress)
+        emitter = BulkSamEmitter(genome, use_m=opt.use_m,
+                                 read_group=opt.read_group)
+        check_err = None
+        if opt.compute_error:
+            check_err = lambda r, loc: wgsim_misaligned(
+                r, loc, genome, opt.misalign_threshold)
+        try:
+            t0 = time.time()
+            writer = OrderedWorker(depth=4)
+            B = opt.batch_size
+            L_eng = None
+            n_total = n_useful = 0
+            overflow_pairs = []
+
+            def bulk_drain(b0, b1, bad, excl, out_dev):
+                td = time.time()
+                res = jax.device_get(out_dev)
+                self.wait.device_s += time.time() - td
+                stats.truncated_candidates += int(
+                    (res["truncated0"] > 0).sum()
+                    + (res["truncated1"] > 0).sum())
+                for c in ("n_lookups", "n_candidates", "n_scored",
+                          "score_overflow"):
+                    for e in ("0", "1", ""):
+                        if c + e in res:
+                            stats.count(c, res[c + e])
+                tw = time.time()
+                emitter.emit_pairs(b0, b1, res, bad, out, stats,
+                                   pass_filter=opt.pass_filter,
+                                   compute_error=check_err,
+                                   exclude=excl)
+                self.wait.write_s += time.time() - tw
+
+            def mk_end(buf, recs):
+                return build_end_block(
+                    buf, recs, L_eng, opt.min_read_length, maxk,
+                    clipping=opt.clipping, min_phred=opt.min_phred,
+                    min_percent=opt.min_percent_above_phred,
+                    phred_offset=opt.phred_offset)
+
+            for (buf0, recs0), (buf1, recs1) in paired_record_blocks(
+                    fq0, fq1, B):
+                if L_eng is None:
+                    L_eng = int(max(recs0[:, 3].max(), recs1[:, 3].max()))
+                b0 = mk_end(buf0, recs0)
+                b1 = mk_end(buf1, recs1)
+                if not opt.ignore_mismatched_ids:
+                    mm = ids_match_vec(b0, b1)
+                    if not mm.all():
+                        i = int(np.flatnonzero(~mm)[0])
+                        r0i, r1i = b0.read_at(i), b1.read_at(i)
+                        raise ValueError(
+                            f"Unmatched read IDs {r0i.rid!r} and "
+                            f"{r1i.rid!r}.  Use the -I option to ignore "
+                            "this.")
+                excl = None
+                if len(b0.overflow) or len(b1.overflow):
+                    # reads longer than the compiled width: per-read path
+                    ov = sorted(set(b0.overflow) | set(b1.overflow))
+                    for i in ov:
+                        overflow_pairs.append((b0.read_at(i),
+                                               b1.read_at(i)))
+                    excl = np.zeros(b0.n, bool)
+                    excl[np.asarray(ov, np.int64)] = True
+                bad = (~b0.useful & ~b1.useful) | ~b0.quality_ok
+                n = b0.n
+                n_total += 2 * n
+                n_useful += int(np.where(
+                    bad, 0, np.where(b0.useful & b1.useful, 2, 1)).sum())
+                c0, q0, c1, q1 = b0.codes, b0.equals, b1.codes, b1.equals
+                if n < B:       # pad to the compiled batch shape
+                    pad = ((0, B - n), (0, 0))
+                    c0 = np.pad(c0, pad, constant_values=4)
+                    c1 = np.pad(c1, pad, constant_values=4)
+                    q0 = np.pad(q0, pad, constant_values=ord("!"))
+                    q1 = np.pad(q1, pad, constant_values=ord("!"))
+                out_dev = self.aligner.align_batch_device(
+                    jnp.asarray(c0), jnp.asarray(q0),
+                    jnp.asarray(c1), jnp.asarray(q1))
+                writer.submit(bulk_drain, b0, b1, bad, excl, out_dev)
+            writer.close()
+            stats.total_reads += n_total
+            stats.useful_reads += n_useful
+            if overflow_pairs:
+                self._legacy_pairs(overflow_pairs, out, builder)
+            builder.flush(out)
+            stats.align_time = time.time() - t0
+        finally:
+            out.close()
+        return stats
+
+    def _legacy_pairs(self, pairs, out, builder):
+        """Per-read path for rare pairs the bulk path can't batch
+        (reads longer than the compiled width)."""
+        opt = self.opt
+        stats = self.stats
+        buckets = defaultdict(list)
+        for r0, r1 in pairs:
+            L = max(r0.data_length, r1.data_length)
+            buckets[L].append((r0, r1))
+        chunks = []
+        for L, ps in buckets.items():
+            for s in range(0, len(ps), opt.batch_size):
+                chunks.append((L, ps[s:s + opt.batch_size]))
+        for L, ps in chunks:
+            b0 = make_batch([p[0] for p in ps], L, opt.batch_size)
+            b1 = make_batch([p[1] for p in ps], L, opt.batch_size)
+            out_dev = self.aligner.align_batch_device(
+                jnp.asarray(b0.codes), jnp.asarray(b0.quals),
+                jnp.asarray(b1.codes), jnp.asarray(b1.quals))
+            res = jax.device_get(out_dev)
+            for i, (r0, r1) in enumerate(ps):
+                for r, res_i, loc, d, mq, sc, mate_read, mres, mloc, mdir, \
+                        first in (
+                        (r0, int(res["result0"][i]), int(res["loc0"][i]),
+                         int(res["dir0"][i]), int(res["mapq0"][i]),
+                         int(res["score0"][i]), r1, int(res["result1"][i]),
+                         int(res["loc1"][i]), int(res["dir1"][i]), True),
+                        (r1, int(res["result1"][i]), int(res["loc1"][i]),
+                         int(res["dir1"][i]), int(res["mapq1"][i]),
+                         int(res["score1"][i]), r0, int(res["result0"][i]),
+                         int(res["loc0"][i]), int(res["dir0"][i]), False)):
+                    if passes_filter(int(res["result0"][i]), opt.pass_filter) \
+                            or passes_filter(int(res["result1"][i]),
+                                             opt.pass_filter):
+                        builder.add(
+                            r, res_i, loc if res_i != NOT_FOUND else -1,
+                            d, mq, score=sc,
+                            mate=dict(result=mres,
+                                      location=mloc if mres != NOT_FOUND
+                                      else -1,
+                                      direction=mdir, read=mate_read,
+                                      first=first))
+                    if res_i == 1:
+                        stats.single_hits += 1
+                    elif res_i == 2:
+                        stats.multi_hits += 1
+                    else:
+                        stats.not_found += 1
+                    if res_i != NOT_FOUND:
+                        was_err = opt.compute_error and wgsim_misaligned(
+                            r, loc, self.index.genome,
+                            opt.misalign_threshold)
+                        stats.record_mapq(mq, was_err)
+                if bool(res["pair_found"][i]):
+                    stats.aligned_as_pairs += 2
+                    stats.record_pair(int(res["loc1"][i] - res["loc0"][i]),
+                                      int(res["pair_score"][i]))
+
+    def _run_legacy(self, fq0, fq1, out_path,
+                    command_line: str = "snap-rna-tpu"):
         opt = self.opt
         stats = self.stats
         maxk = self.aligner.cfg.max_k

@@ -6,7 +6,11 @@ Usage:
   python tools/engine_client.py measure_se [rounds]
   python tools/engine_client.py reload [rounds] [k=v ...]   # dev A/B
   python tools/engine_client.py reload_se [rounds] [k=v ...]
+  python tools/engine_client.py profile [steps] [single=true] [bp=N]
   python tools/engine_client.py shutdown
+
+Special k=v keys consumed by the client (not passed as aligner config):
+  bp=N   batch_pairs for the measurement/profile batches.
 
 reload re-imports the engine modules inside the server and measures the
 CURRENT on-disk code against the resident device arrays — the round-5 A/B
@@ -70,18 +74,46 @@ def main():
             kw[k] = parse_val(v)
         else:
             rounds = int(a)
+    bp = kw.pop("bp", 1024)
     if cmd == "ping":
         req = {"cmd": "ping"}
     elif cmd in ("measure", "measure_se"):
-        req = {"cmd": cmd, "rounds": rounds, "deadline_s": 300.0}
+        req = {"cmd": cmd, "rounds": rounds, "deadline_s": 300.0,
+               "batch_pairs": bp}
     elif cmd in ("reload", "reload_se"):
         req = {"cmd": "reload_measure", "kw": kw,
-               "single": cmd == "reload_se", "rounds": rounds}
+               "single": cmd == "reload_se", "rounds": rounds,
+               "batch_pairs": bp}
+    elif cmd == "profile":
+        req = {"cmd": "profile", "steps": rounds if rounds != 20 else 4,
+               "single": bool(kw.pop("single", False)), "batch_pairs": bp}
     elif cmd == "shutdown":
         req = {"cmd": "shutdown"}
     else:
         raise SystemExit(f"unknown cmd {cmd}")
-    print(json.dumps(call(req), default=str), flush=True)
+    out = call(req)
+    print(json.dumps(out, default=str), flush=True)
+    if cmd == "profile" and out.get("ok"):
+        # parse the xplane client-side (same filesystem)
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from tools.xprof_dump import collect_xplane
+        per_op = collect_xplane(out["logdir"])
+        n = out["steps"]
+        total_ms = sum(per_op.values()) / 1e6
+        print(f"total device self-time: {total_ms / n:.1f} ms/batch "
+              f"({(1 if req['single'] else 2) * out['batch_pairs'] * n / (total_ms / 1e3):,.0f} reads/s device-bound)")
+        import re
+        from collections import defaultdict
+        rollup = defaultdict(float)
+        for name, ns in per_op.items():
+            rollup[re.split(r"[.\d]", name, 1)[0]] += ns
+        print("per-category (ms/batch):")
+        for cat, ns in sorted(rollup.items(), key=lambda kv: -kv[1])[:14]:
+            print(f"  {ns / 1e6 / n:8.2f}  {cat}")
+        print("top 40 ops (ms/batch):")
+        for name, ns in sorted(per_op.items(), key=lambda kv: -kv[1])[:40]:
+            print(f"  {ns / 1e6 / n:8.3f}  {name}")
 
 
 if __name__ == "__main__":

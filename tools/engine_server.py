@@ -96,15 +96,13 @@ class Engine:
         print(f"[{time.time()-t0:6.1f}s] index loaded", flush=True)
         codes = np.asarray(index.genome.codes)
         pad = int(index.genome.piece_offsets[0])
-        body = codes[pad:pad + GENOME_BASES]
-        self.batches = []
+        self.body = codes[pad:pad + GENOME_BASES]
+        self._wgsim_pairs = wgsim_pairs
+        self._jnp = jnp
+        self._batch_cache = {}
         t1 = time.time()
         self.aligner = PairedAligner(index, cand_per_read=64)
-        for s in range(3):
-            r0, q0, r1, q1, _, _ = wgsim_pairs(body, BATCH_PAIRS, READ_LEN,
-                                               seed=s)
-            self.batches.append(tuple(jnp.asarray(x)
-                                      for x in (r0, q0, r1, q1)))
+        self.batches = self._get_batches(BATCH_PAIRS)
         print(f"[{time.time()-t0:6.1f}s] warming paired engine "
               "(upload + AOT load + first exec)...", flush=True)
         out = self.aligner.align_batch_device(*self.batches[0])
@@ -125,6 +123,19 @@ class Engine:
         print(f"[{time.time()-t0:6.1f}s] single engine ready "
               f"(aligned={sa:.4f})", flush=True)
 
+    def _get_batches(self, batch_pairs, n=3):
+        """wgsim batches at an arbitrary size, cached per size."""
+        key = (batch_pairs, n)
+        if key not in self._batch_cache:
+            bs = []
+            for s in range(n):
+                r0, q0, r1, q1, _, _ = self._wgsim_pairs(
+                    self.body, batch_pairs, READ_LEN, seed=s)
+                bs.append(tuple(self._jnp.asarray(x)
+                                for x in (r0, q0, r1, q1)))
+            self._batch_cache[key] = bs
+        return self._batch_cache[key]
+
     def _transplant(self, cls, cfg):
         """Build an aligner of class `cls` around the RESIDENT device
         arrays (no re-upload).  Both aligner classes keep identical device
@@ -141,10 +152,11 @@ class Engine:
 
     def _measure(self, aligner, batches, rounds, deadline_s, single=False):
         np = self.np
+        batch_pairs = batches[0][0].shape[0]
         key = "result" if single else "pair_found"
         step = ((lambda b: aligner.align_batch_device(*b[:2])) if single
                 else (lambda b: aligner.align_batch_device(*b)))
-        rpb = BATCH_PAIRS if single else 2 * BATCH_PAIRS
+        rpb = batch_pairs if single else 2 * batch_pairs
         # un-timed warmup: the FIRST dispatch after an idle period pays a
         # tunnel/program reload stall (observed ~28 s after ~1 h idle, which
         # once turned a 56k measurement into 367 reads/s); it must never
@@ -164,16 +176,38 @@ class Engine:
         return dict(ok=True, reads_per_sec=n / dt,
                     rounds_completed=n // rpb,
                     fraction_pairs_found=frac,
-                    batch_pairs=BATCH_PAIRS, cold_costs=self.cold)
+                    batch_pairs=batch_pairs, cold_costs=self.cold)
 
-    def measure(self, rounds, deadline_s):
-        return self._measure(self.aligner, self.batches, rounds, deadline_s)
+    def measure(self, rounds, deadline_s, batch_pairs=BATCH_PAIRS):
+        return self._measure(self.aligner, self._get_batches(batch_pairs),
+                             rounds, deadline_s)
 
-    def measure_se(self, rounds, deadline_s):
-        return self._measure(self.single, self.batches, rounds, deadline_s,
-                             single=True)
+    def measure_se(self, rounds, deadline_s, batch_pairs=BATCH_PAIRS):
+        return self._measure(self.single, self._get_batches(batch_pairs),
+                             rounds, deadline_s, single=True)
 
-    def reload_measure(self, kw, single, rounds):
+    def profile(self, steps, single, batch_pairs):
+        """Trace `steps` engine batches with jax.profiler; return the
+        logdir for client-side xplane parsing (tools/xprof_dump.py)."""
+        import tempfile
+        import jax
+        np = self.np
+        al = self.single if single else self.aligner
+        key = "result" if single else "pair_found"
+        step = ((lambda b: al.align_batch_device(*b[:2])) if single
+                else (lambda b: al.align_batch_device(*b)))
+        batches = self._get_batches(batch_pairs, n=max(3, steps))
+        np.asarray(step(batches[0])[key])     # un-timed warmup
+        logdir = tempfile.mkdtemp(prefix="xprof_srv_")
+        with jax.profiler.trace(logdir):
+            out = None
+            for i in range(steps):
+                out = step(batches[i % len(batches)])
+            np.asarray(out[key])
+        return dict(ok=True, logdir=logdir, steps=steps,
+                    batch_pairs=batch_pairs)
+
+    def reload_measure(self, kw, single, rounds, batch_pairs=BATCH_PAIRS):
         """Dev A/B: re-import engine modules from disk, rebuild the aligner
         on the resident device arrays, trace+compile, measure."""
         import importlib
@@ -205,7 +239,7 @@ class Engine:
             al = self._transplant(m_paired.PairedAligner, cfg)
         reload_s = time.time() - t0
         t0 = time.time()
-        out = self._measure(al, self.batches, rounds,
+        out = self._measure(al, self._get_batches(batch_pairs), rounds,
                             deadline_s=600.0, single=single)
         out["compile_s"] = round(time.time() - t0 - 0.0, 1)
         out["reload_s"] = round(reload_s, 1)
@@ -233,15 +267,23 @@ def main():
             elif cmd == "measure":
                 _send_msg(conn, engine.measure(
                     int(req.get("rounds", 10)),
-                    float(req.get("deadline_s", 120.0))))
+                    float(req.get("deadline_s", 120.0)),
+                    int(req.get("batch_pairs", BATCH_PAIRS))))
             elif cmd == "measure_se":
                 _send_msg(conn, engine.measure_se(
                     int(req.get("rounds", 10)),
-                    float(req.get("deadline_s", 120.0))))
+                    float(req.get("deadline_s", 120.0)),
+                    int(req.get("batch_pairs", BATCH_PAIRS))))
+            elif cmd == "profile":
+                _send_msg(conn, engine.profile(
+                    int(req.get("steps", 4)),
+                    bool(req.get("single", False)),
+                    int(req.get("batch_pairs", BATCH_PAIRS))))
             elif cmd == "reload_measure":
                 _send_msg(conn, engine.reload_measure(
                     req.get("kw", {}), bool(req.get("single", False)),
-                    int(req.get("rounds", 20))))
+                    int(req.get("rounds", 20)),
+                    int(req.get("batch_pairs", BATCH_PAIRS))))
             elif cmd == "shutdown":
                 _send_msg(conn, dict(ok=True))
                 break
