@@ -68,9 +68,21 @@ def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int):
         ridx = jnp.clip(r0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
                         0, M - 1)
         flat = rows_tbl[ridx].reshape(C, K * ROW_WORDS)       # (C, K*128) u32
-        # variable word shift: 7 conditional rolls by powers of two
+        # variable word shift: 7 conditional rolls by powers of two,
+        # TELESCOPING high-bit-first — after the roll for bit b the
+        # residual offset is < 2^b, so only the first 2^b + n_w words can
+        # ever be needed and the array is sliced down between steps.  The
+        # full-width variant (7 rolls over the whole K*128 row) was ~6
+        # ms/batch of pure HBM round-trips in the round-5 device profile;
+        # the telescoped version moves ~8x fewer bytes for identical
+        # output.
         woff = wstart & (ROW_WORDS - 1)
-        for b in range(7):
+        for b in range(6, -1, -1):
+            # entering step b the residual offset is < 2^(b+1), so only
+            # the first 2^(b+1) + n_w words can be live
+            keep_w = (1 << (b + 1)) + n_w
+            if keep_w < flat.shape[1]:
+                flat = flat[:, :keep_w]
             flat = jnp.where((woff & (1 << b) > 0)[:, None],
                              jnp.roll(flat, -(1 << b), axis=1), flat)
         words = flat[:, :n_w]
@@ -90,9 +102,12 @@ def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int):
     nib = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(15)
     codes = nib.astype(jnp.uint8).reshape(C, n_w * BASES_PER_WORD)
 
-    # sub-word alignment: 8 static slices, masked-select by loc % 8
+    # sub-word alignment by loc % 8: three telescoped conditional rolls
+    # (4/2/1 bases) instead of an 8-way masked select — n_w*8 >= width+8
+    # guarantees the discarded head never wraps back into [0, width)
     off = (loc & 7).astype(jnp.int32)
-    out = jnp.zeros((C, width), jnp.uint8)
-    for s in range(BASES_PER_WORD):
-        out = jnp.where((off == s)[:, None], codes[:, s:s + width], out)
-    return out
+    for b in (2, 1, 0):
+        sh = 1 << b
+        codes = jnp.where((off & sh > 0)[:, None],
+                          jnp.roll(codes, -sh, axis=1), codes)
+    return codes[:, :width]
