@@ -465,8 +465,13 @@ class BulkSamEmitter:
         genome = self.genome
         r0 = np.asarray(res["result0"][:n]).astype(np.int64)
         r1 = np.asarray(res["result1"][:n]).astype(np.int64)
-        loc0 = np.asarray(res["loc0"][:n]).astype(np.int64)
-        loc1 = np.asarray(res["loc1"][:n]).astype(np.int64)
+        # locations are uint32 bit patterns in int32 arrays (big-genome
+        # mode past 2^31); the unmapped sentinel -1 maps to
+        # INVALID_GENOME_LOCATION, which the mapped mask already rejects
+        loc0 = np.asarray(res["loc0"][:n]).astype(
+            np.int32).view(np.uint32).astype(np.int64)
+        loc1 = np.asarray(res["loc1"][:n]).astype(
+            np.int32).view(np.uint32).astype(np.int64)
         d0 = np.asarray(res["dir0"][:n]).astype(np.int64)
         d1 = np.asarray(res["dir1"][:n]).astype(np.int64)
         mq0 = np.asarray(res["mapq0"][:n]).astype(np.int64)

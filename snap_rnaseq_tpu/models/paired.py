@@ -177,7 +177,8 @@ def _mate_rescue_end(d_e, d_m, reads_e, quals_e, genome_p4, piece_starts,
     dir_rows = jnp.broadcast_to(dir_r, (B, R, 2)).reshape(B * NW)
     live_rows = jnp.broadcast_to(m_live[:, :, None], (B, R, 2)).reshape(B * NW)
 
-    window = gather_windows(genome_p4, win_start, width=WLEN)   # (B*NW, WLEN)
+    window = gather_windows(genome_p4, win_start, width=WLEN,
+                            big=sg.big_locations(genome_size))  # (B*NW, WLEN)
 
     rc_reads = sg.COMP_LUT[reads_e[:, ::-1].astype(jnp.int32)]
     read_both = jnp.stack([reads_e, rc_reads], axis=1)
@@ -381,8 +382,9 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
         eo["n_cand1"] = cands["live"][B:].sum()
         return eo
 
+    big = sg.big_locations(genome_size)
     cands = sg.expand_phase(seeds, budget, sched_tab, overflow, ecfg,
-                            seed_len, read_len, ecfg.cand_per_read)
+                            seed_len, read_len, ecfg.cand_per_read, big=big)
     if ecfg.overflow_tier and ecfg.cand_per_read > 0:
         # candidate-overflow exact fallback (see single._align_batch):
         # 4x re-expand when the narrow tier truncated any hit list
@@ -391,7 +393,7 @@ def _paired_align_batch(reads0, quals0, reads1, quals1,
             lambda c: from_cands(
                 sg.expand_phase(seeds, budget, sched_tab, overflow, ecfg,
                                 seed_len, read_len,
-                                4 * ecfg.cand_per_read),
+                                4 * ecfg.cand_per_read, big=big),
                 score_scale=4),
             lambda c: from_cands(c),
             cands)

@@ -121,13 +121,32 @@ def row_select(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         axis=2, dtype=table.dtype)
 
 
-def piece_index_of(piece_starts: jnp.ndarray, loc: jnp.ndarray) -> jnp.ndarray:
+def _loc_ord(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotone uint32 -> int32 order map (sign-bit flip).
+
+    BIG-GENOME MODE: genomes past 2^31 bases (hg19 with padding is
+    ~3.2e9; the reference supports the full 2^32 space,
+    GenomeIndex.cpp:371-375) store locations as int32-WRAPPED uint32 bit
+    patterns.  Arithmetic differences stay correct modulo 2^32, but
+    ORDER comparisons need this map (or uint32 casts)."""
+    return (x.astype(jnp.uint32) ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+
+
+def big_locations(genome_size: int) -> bool:
+    """Static: does this genome need uint32 (not int31) location order?"""
+    return genome_size > (1 << 31) - (1 << 26)
+
+
+def piece_index_of(piece_starts: jnp.ndarray, loc: jnp.ndarray,
+                   big: bool = False) -> jnp.ndarray:
     """searchsorted(piece_starts, loc, 'right') - 1, clipped — as one
     broadcast compare-and-sum.  The piece table is tiny (#chromosomes), so
     the O(C * n_pieces) compare beats jnp.searchsorted's while-loop binary
     search lowering by ~10x on TPU (round-4 device profile)."""
     n = piece_starts.shape[0]
-    idx = (piece_starts[None, :] <= loc[:, None]).sum(
+    ps, lq = (piece_starts, loc) if not big else \
+        (_loc_ord(piece_starts), _loc_ord(loc))
+    idx = (ps[None, :] <= lq[:, None]).sum(
         axis=1, dtype=jnp.int32) - 1
     return jnp.clip(idx, 0, n - 1)
 
@@ -238,7 +257,7 @@ def budget_phase(valid, counts_global, wraps, cfg: SingleAlignerConfig):
 
 
 def expand_phase(seeds, budget, schedule, overflow, cfg, seed_len, read_len,
-                 cand_slots):
+                 cand_slots, big: bool = False):
     """Hits -> flat candidate slots: (loc, dir, order, seedOffset, round,
     lowest-possible bound).  The counts here are LOCAL (this shard's hits);
     the masks are GLOBAL."""
@@ -299,14 +318,19 @@ def expand_phase(seeds, budget, schedule, overflow, cfg, seed_len, read_len,
     lp_at = row_select(budget["lp_pre"].reshape(B, S * 2), group)
 
     read_id = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, CPR))
+    # dead-slot location sentinel: BIG for int31 genomes; big-genome mode
+    # uses 0xFFFFFFF0 (beyond any supported genome) so it can never
+    # collide with a real location and absorb a live candidate's group
+    # representative in the (dir, loc) aggregate
+    dead = jnp.int32(-16) if big else BIG
     return dict(read=read_id, dir=dir_idx,
-                loc=jnp.where(cand_live, cand_loc, BIG),
+                loc=jnp.where(cand_live, cand_loc, dead),
                 order=order, offset=offset,
                 round=s_idx, lp=lp_at,
                 live=cand_live, truncated=n_truncated)
 
 
-def _aggregate_rows(c):
+def _aggregate_rows(c, big: bool = False):
     """Rowwise core of aggregate_phase: returns (rows, W) arrays."""
     # Pack the sort down to one u32 key + three payloads: every operand
     # rides through ~log^2(W) comparator stages, so fewer/narrower
@@ -316,23 +340,37 @@ def _aggregate_rows(c):
     # tail, as before).  read is constant per row — recomputed, not
     # sorted.  (order, live) and (round, offset) share lanes: order
     # uses 22 bits (group<<16|within), round < 64, offset < 1024.
+    #
+    # BIG-GENOME MODE (hg scale: locations need all 32 bits,
+    # GenomeIndex.cpp:371-375): dir no longer fits in the key word, so
+    # the sort runs num_keys=2 on (dir, loc-as-u32) — same grouping, one
+    # extra comparator operand; only genomes past 2^31 pay it.
     from ..ops.rowscan import seg_broadcast
     rows, W = c["dir"].shape
-    ukey = (c["dir"].astype(jnp.uint32) << 31) | c["loc"].astype(jnp.uint32)
     p_ord = c["order"] | (c["live"].astype(jnp.int32) << 30)
     p_ro = (c["round"] << 10) | c["offset"]
-    ukey, p_ord, p_ro, lp_ = jax.lax.sort(
-        (ukey, p_ord, p_ro, c["lp"]), dimension=1, num_keys=1,
-        is_stable=False)
-    d_ = (ukey >> 31).astype(jnp.int32)
-    l_ = (ukey & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    if big:
+        d_, l_u, p_ord, p_ro, lp_ = jax.lax.sort(
+            (c["dir"], c["loc"].astype(jnp.uint32), p_ord, p_ro, c["lp"]),
+            dimension=1, num_keys=2, is_stable=False)
+        l_ = l_u.astype(jnp.int32)
+    else:
+        ukey = (c["dir"].astype(jnp.uint32) << 31) | \
+            c["loc"].astype(jnp.uint32)
+        ukey, p_ord, p_ro, lp_ = jax.lax.sort(
+            (ukey, p_ord, p_ro, c["lp"]), dimension=1, num_keys=1,
+            is_stable=False)
+        d_ = (ukey >> 31).astype(jnp.int32)
+        l_u = ukey & jnp.uint32(0x7FFFFFFF)
+        l_ = l_u.astype(jnp.int32)
     o_ = p_ord & jnp.int32(0x3FFFFFFF)
     live_ = (p_ord >> 30) > 0
     rd_ = p_ro >> 10
     off_ = p_ro & jnp.int32(0x3FF)
 
     col0 = jnp.zeros((rows, W), bool).at[:, 0].set(True)
-    elem_loc = l_ - l_ % MAX_MERGE_DIST
+    # 48-bucket ids in uint32 so big-genome locations bucket correctly
+    elem_loc = l_u - l_u % jnp.uint32(MAX_MERGE_DIST)
     diff_d = col0 | (d_ != jnp.pad(d_, ((0, 0), (1, 0)))[:, :-1])
     elem_b = diff_d | (elem_loc != jnp.pad(elem_loc,
                                            ((0, 0), (1, 0)))[:, :-1])
@@ -432,16 +470,22 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     so = jnp.where(u["live"], u["off"], 0)
     tail = so + seed_len
     loc_c = jnp.where(u["live"], u["loc"], 0)
+    big = big_locations(genome_size)
 
-    pidx = piece_index_of(piece_starts, loc_c)
+    pidx = piece_index_of(piece_starts, loc_c, big=big)
     next_start = jnp.where(
         pidx + 1 < piece_starts.shape[0],
         piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
-        genome_size)
+        jnp.int32(np.uint32(genome_size).astype(np.int32)))
     want = read_len + MAX_K
-    crosses = loc_c + want > jnp.minimum(next_start, genome_size)
-    end_off = jnp.where(loc_c + want >= genome_size, genome_size, next_start)
-    text_len = jnp.where(crosses, end_off - loc_c - 1, want)
+    # uint32 arithmetic: exact for int31 genomes too, correct past 2^31
+    lu = loc_c.astype(jnp.uint32)
+    ns_u = next_start.astype(jnp.uint32)
+    gs_u = jnp.uint32(genome_size)
+    crosses = lu + want > jnp.minimum(ns_u, gs_u)
+    end_off = jnp.where(lu + want >= gs_u, gs_u, ns_u)
+    text_len = jnp.where(crosses, (end_off - lu).astype(jnp.int32) - 1,
+                         want)
     data_ok = text_len >= read_len - MAX_K
 
     # FREE-PREFIX formulation: both LV calls run on the FULL read row with
@@ -455,7 +499,7 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     selq = qual_both[u["read"], u["dir"]]
     if window is None:
         window = gather_windows(genome_p4, loc_c - MAX_K,
-                                width=read_len + 2 * MAX_K)
+                                width=read_len + 2 * MAX_K, big=big)
     fwd_text = window[:, MAX_K:]
     bwd_text = jnp.flip(window[:, :read_len + MAX_K], axis=1)
     plen_full = jnp.full((2 * C,), read_len, jnp.int32)
@@ -466,7 +510,10 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     # head
     rsel = sel[:, ::-1]
     rselq = selq[:, ::-1]
-    bwd_tlen = (read_len - so) + jnp.minimum(so + MAX_K, loc_c + so)
+    # genome-start guard in uint32 (big-genome locations wrap int32)
+    bwd_tlen = (read_len - so) + jnp.minimum(
+        (so + MAX_K).astype(jnp.uint32),
+        lu + so.astype(jnp.uint32)).astype(jnp.int32)
     r = lv_distance(
         jnp.concatenate([sel, rsel], axis=0), plen_full,
         jnp.concatenate([fwd_text, bwd_text], axis=0),
@@ -537,6 +584,7 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     from ..ops.bitpar import bitpar_distance
     e_max = cfg.e_max
     C = u["read"].shape[0]
+    big = big_locations(genome_size)
     live = u["live"]
     loc_c = jnp.where(live, u["loc"], 0)
 
@@ -547,7 +595,7 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     # one shared window per candidate serves the prefilter AND both LV
     # text slices downstream (score_phase's free-prefix formulation)
     W = read_len + 2 * MAX_K
-    window = gather_windows(genome_p4, loc_c - MAX_K, width=W)
+    window = gather_windows(genome_p4, loc_c - MAX_K, width=W, big=big)
     want = read_len + e_max
     text = window[:, MAX_K:MAX_K + want]
     t_len = jnp.full((C,), want, jnp.int32)
@@ -605,13 +653,14 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
 
     fast = jnp.zeros((C,), bool)
     if os.environ.get("SNAP_TPU_FAST_SUB", "1") != "0":
-        pidx = piece_index_of(piece_starts, loc_c)
+        pidx = piece_index_of(piece_starts, loc_c, big=big)
         next_start = jnp.where(
             pidx + 1 < piece_starts.shape[0],
             piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
-            genome_size)
-        crosses = loc_c + read_len + MAX_K > jnp.minimum(next_start,
-                                                         genome_size)
+            jnp.int32(np.uint32(genome_size).astype(np.int32)))
+        crosses = (loc_c.astype(jnp.uint32) + (read_len + MAX_K)
+                   > jnp.minimum(next_start.astype(jnp.uint32),
+                                 jnp.uint32(genome_size)))
         text0 = window[:, MAX_K:MAX_K + read_len]
         mm = sel != text0
         ham = mm.sum(axis=1).astype(jnp.int32)
@@ -917,12 +966,13 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
     from ..ops.bitpar import bitpar_distance
     e_max = cfg.e_max
     R, W = u2["dir"].shape
+    big = big_locations(genome_size)
     live = u2["live"]
     loc = jnp.where(live, u2["loc"], 0)
     flat_loc = loc.reshape(R * W)
 
     WIN = read_len + 2 * MAX_K
-    window = gather_windows(genome_p4, flat_loc - MAX_K, width=WIN)
+    window = gather_windows(genome_p4, flat_loc - MAX_K, width=WIN, big=big)
     window = window.reshape(R, W, WIN)
 
     if cfg.score_budget_per_read == 0:
@@ -956,13 +1006,16 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
                             text.reshape(R * W, want), t_len,
                             P=read_len).reshape(R, W)
 
-    # piece-boundary clipping predicate (same as score_phase)
-    pidx = piece_index_of(piece_starts, flat_loc).reshape(R, W)
+    # piece-boundary clipping predicate (same as score_phase; uint32
+    # arithmetic covers big-genome locations)
+    pidx = piece_index_of(piece_starts, flat_loc, big=big).reshape(R, W)
     next_start = jnp.where(
         pidx + 1 < piece_starts.shape[0],
         piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
-        genome_size)
-    crosses = loc + read_len + MAX_K > jnp.minimum(next_start, genome_size)
+        jnp.int32(np.uint32(genome_size).astype(np.int32)))
+    crosses = (loc.astype(jnp.uint32) + (read_len + MAX_K)
+               > jnp.minimum(next_start.astype(jnp.uint32),
+                             jnp.uint32(genome_size)))
 
     if qlp_both is None:
         from ..ops.lv import phred_log_prob_device
@@ -1207,7 +1260,7 @@ def rowwise_back_half(cands, budget, reads, quals, genome_p4, piece_starts,
                       qlp_both=None, score_scale: int = 1):
     """aggregate -> rowwise score -> rowwise replay.  Returns (u2, sc2,
     out) where out carries the replay results + device counters."""
-    u2 = _aggregate_rows(cands)
+    u2 = _aggregate_rows(cands, big=big_locations(genome_size))
     sc2 = rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts,
                               cfg, seed_len, read_len, genome_size,
                               qlp_both=qlp_both, score_scale=score_scale)
@@ -1254,8 +1307,9 @@ def _align_batch(reads, quals,
         out["n_candidates"] = cands["live"].sum()
         return out
 
+    big = big_locations(genome_size)
     cands = expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
-                         read_len, cfg.cand_per_read)
+                         read_len, cfg.cand_per_read, big=big)
     if not (cfg.overflow_tier and cfg.cand_per_read > 0):
         return from_cands(cands)
     # Candidate-overflow exact fallback: if the narrow expand truncated ANY
@@ -1269,7 +1323,7 @@ def _align_batch(reads, quals,
         cands["truncated"].sum() > 0,
         lambda c: from_cands(
             expand_phase(seeds, budget, schedule, overflow, cfg, seed_len,
-                         read_len, 4 * cfg.cand_per_read),
+                         read_len, 4 * cfg.cand_per_read, big=big),
             score_scale=4),
         lambda c: from_cands(c),
         cands)

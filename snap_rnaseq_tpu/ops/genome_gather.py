@@ -39,13 +39,19 @@ def pack_genome_4bit(codes: np.ndarray) -> np.ndarray:
     return (w << shifts).sum(axis=1, dtype=np.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("width",))
-def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int):
+@functools.partial(jax.jit, static_argnames=("width", "big"))
+def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int,
+                   big: bool = False):
     """(C,) start locations -> (C, width) uint8 base codes.
 
     Out-of-range reads clamp into the terminal padding words (code 5,
     matches nothing), mirroring the clipped-gather semantics of the
     unpacked path.
+
+    big: locations are int32-WRAPPED uint32 (genomes past 2^31 bases) —
+    interpret via uint32; underflowed starts (loc - k wrapping below 0)
+    land past the table and read all-padding, which only affects windows
+    anchored inside the leading padding (no seeds live there).
 
     Layout: XLA lowers an elementwise word gather at ~7 ns/WORD but a
     row gather at ~35 ns/ROW (round-4 device profile), so the window is
@@ -56,8 +62,14 @@ def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int):
     """
     C = loc.shape[0]
     n_words = genome_p4.shape[0]
-    loc = jnp.maximum(loc, 0)
-    wstart = (loc >> 3).astype(jnp.int32)
+    if big:
+        loc_u = loc.astype(jnp.uint32)
+        wstart = (loc_u >> 3).astype(jnp.int32)
+        sub_off = (loc_u & 7).astype(jnp.int32)
+    else:
+        loc = jnp.maximum(loc, 0)
+        wstart = (loc >> 3).astype(jnp.int32)
+        sub_off = (loc & 7).astype(jnp.int32)
     n_w = (width + BASES_PER_WORD - 1) // BASES_PER_WORD + 1
 
     if n_words % ROW_WORDS == 0:
@@ -105,7 +117,7 @@ def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int):
     # sub-word alignment by loc % 8: three telescoped conditional rolls
     # (4/2/1 bases) instead of an 8-way masked select — n_w*8 >= width+8
     # guarantees the discarded head never wraps back into [0, width)
-    off = (loc & 7).astype(jnp.int32)
+    off = sub_off
     for b in (2, 1, 0):
         sh = 1 << b
         codes = jnp.where((off & sh > 0)[:, None],

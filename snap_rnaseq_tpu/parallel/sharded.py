@@ -161,7 +161,10 @@ class ShardedSingleAligner:
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(mesh, spec))
 
-        self._ht = {k: put(parts[k], P("index"))
+        # pop each host slice as it lands on-device: at hg19 scale the
+        # stacked entries are ~48 GB, and holding host + device copies
+        # simultaneously would double peak RSS
+        self._ht = {k: put(parts.pop(k), P("index"))
                     for k in ("ht_entries", "overflow",
                               "shard_start", "shard_size",
                               "ck_buckets", "ck_buckets2", "ck_stash")}
@@ -228,8 +231,9 @@ def _end_pipeline(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
     counts_local = jnp.where(seeds["found"][:, :, None], seeds["counts"], 0)
     counts_global = jax.lax.psum(counts_local, "index")
     budget = sg.budget_phase(seeds["valid"], counts_global, wraps, cfg)
+    big = sg.big_locations(genome_size)
     cands = sg.expand_phase(seeds, budget, schedule, ovf_l, cfg, seed_len,
-                            read_len, cfg.cand_per_read)
+                            read_len, cfg.cand_per_read, big=big)
     gathered = {}
     for k in ("read", "dir", "loc", "order", "offset", "round", "lp", "live"):
         g = jax.lax.all_gather(cands[k], "index")     # (n_idx, B, CPR)
@@ -241,7 +245,7 @@ def _end_pipeline(reads_l, quals_l, entries_l, sstart_l, ssize_l, ovf_l,
     # work — the FLOPs — is re-split over 'index' by slicing the LANE axis
     # (Wg = n_idx * CPR is divisible by construction), then all_gather-ed
     # back; the cheap rowwise replay runs replicated.
-    u2 = sg._aggregate_rows(gathered)
+    u2 = sg._aggregate_rows(gathered, big=big)
     me = jax.lax.axis_index("index")
     Wg = u2["dir"].shape[1]
     W_slice = Wg // n_idx
@@ -291,7 +295,10 @@ class ShardedPairedAligner:
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(mesh, spec))
 
-        self._ht = {k: put(parts[k], P("index"))
+        # pop each host slice as it lands on-device: at hg19 scale the
+        # stacked entries are ~48 GB, and holding host + device copies
+        # simultaneously would double peak RSS
+        self._ht = {k: put(parts.pop(k), P("index"))
                     for k in ("ht_entries", "overflow",
                               "shard_start", "shard_size",
                               "ck_buckets", "ck_buckets2", "ck_stash")}

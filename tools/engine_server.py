@@ -188,11 +188,16 @@ class Engine:
 
     def profile(self, steps, single, batch_pairs):
         """Trace `steps` engine batches with jax.profiler; return the
-        logdir for client-side xplane parsing (tools/xprof_dump.py)."""
+        logdir for client-side xplane parsing (tools/xprof_dump.py).
+        Profiles the most recently reload_measure'd engine when one
+        exists, so profiles track the on-disk code."""
         import tempfile
         import jax
         np = self.np
-        al = self.single if single else self.aligner
+        al = getattr(self, "last_reloaded", None)
+        if al is None or bool(getattr(self, "last_reloaded_single", False)) \
+                != bool(single):
+            al = self.single if single else self.aligner
         key = "result" if single else "pair_found"
         step = ((lambda b: al.align_batch_device(*b[:2])) if single
                 else (lambda b: al.align_batch_device(*b)))
@@ -238,6 +243,8 @@ class Engine:
                 seed_len=self.index.seed_len, **base)
             al = self._transplant(m_paired.PairedAligner, cfg)
         reload_s = time.time() - t0
+        self.last_reloaded = al
+        self.last_reloaded_single = single
         t0 = time.time()
         out = self._measure(al, self._get_batches(batch_pairs), rounds,
                             deadline_s=600.0, single=single)
