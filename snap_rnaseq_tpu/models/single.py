@@ -1049,37 +1049,81 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
     # prefilter didn't reject — selected per READ by lane rank
     need = live & ~fast & (wdist <= e_max)
     J = min(W, max(2, cfg.score_budget_per_read * score_scale))
-    rank = jnp.cumsum(need.astype(jnp.int32), axis=1) - need.astype(jnp.int32)
-    match = need[:, None, :] & (rank[:, None, :]
-                                == jnp.arange(J, dtype=jnp.int32)[None, :, None])
-    sel_w = jnp.argmax(match, axis=2).astype(jnp.int32)       # (R, J)
-    lv_valid = match.any(axis=2)
-    overflow = jnp.maximum(need.sum(axis=1) - J, 0).sum()
+    need_i = need.astype(jnp.int32)
+    rank = jnp.cumsum(need_i, axis=1) - need_i
+    need_per_read = need_i.sum(axis=1)
 
-    take = lambda x: jnp.take_along_axis(x, sel_w, axis=1)
-    u_sub = dict(
-        read=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
-                              (R, J)).reshape(R * J),
-        dir=take(u2["dir"]).reshape(R * J),
-        loc=take(u2["loc"]).reshape(R * J),
-        off=take(u2["off"]).reshape(R * J),
-        live=lv_valid.reshape(R * J))
-    win_sub = jnp.take_along_axis(window, sel_w[:, :, None],
-                                  axis=1).reshape(R * J, WIN)
-    sc_sub = score_phase(u_sub, reads, quals, genome_p4, piece_starts, cfg,
-                         seed_len, read_len, genome_size,
-                         window=win_sub, qlp_both=qlp_both)
+    def run_lv(Jt, score, logp, loc_adj, scored_ok):
+        match = need[:, None, :] & (
+            rank[:, None, :]
+            == jnp.arange(Jt, dtype=jnp.int32)[None, :, None])
+        sel_w = jnp.argmax(match, axis=2).astype(jnp.int32)   # (R, Jt)
+        lv_valid = match.any(axis=2)
+        take = lambda x: jnp.take_along_axis(x, sel_w, axis=1)
+        u_sub = dict(
+            read=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                                  (R, Jt)).reshape(R * Jt),
+            dir=take(u2["dir"]).reshape(R * Jt),
+            loc=take(u2["loc"]).reshape(R * Jt),
+            off=take(u2["off"]).reshape(R * Jt),
+            live=lv_valid.reshape(R * Jt))
+        win_sub = jnp.take_along_axis(window, sel_w[:, :, None],
+                                      axis=1).reshape(R * Jt, WIN)
+        sc_sub = score_phase(u_sub, reads, quals, genome_p4, piece_starts,
+                             cfg, seed_len, read_len, genome_size,
+                             window=win_sub, qlp_both=qlp_both)
+        # scatter the Jt results back into the (R, W) lanes (tiny scatter)
+        rr = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                              (R, Jt))
+        tr = jnp.where(lv_valid, rr, R).reshape(R * Jt)
+        tc = jnp.where(lv_valid, sel_w, 0).reshape(R * Jt)
+        return (score.at[tr, tc].set(sc_sub["score"].reshape(R * Jt),
+                                     mode="drop"),
+                logp.at[tr, tc].set(sc_sub["logp"].reshape(R * Jt),
+                                    mode="drop"),
+                loc_adj.at[tr, tc].set(sc_sub["loc_adj"].reshape(R * Jt),
+                                       mode="drop"),
+                scored_ok.at[tr, tc].set(
+                    sc_sub["scored_ok"].reshape(R * Jt), mode="drop"))
 
-    # scatter the J results back into the (R, W) lanes (R*J tiny scatter)
-    rr = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, J))
-    tr = jnp.where(lv_valid, rr, R).reshape(R * J)
-    tc = jnp.where(lv_valid, sel_w, 0).reshape(R * J)
-    score = score.at[tr, tc].set(sc_sub["score"].reshape(R * J), mode="drop")
-    logp = logp.at[tr, tc].set(sc_sub["logp"].reshape(R * J), mode="drop")
-    loc_adj = loc_adj.at[tr, tc].set(sc_sub["loc_adj"].reshape(R * J),
-                                     mode="drop")
-    scored_ok = scored_ok.at[tr, tc].set(
-        sc_sub["scored_ok"].reshape(R * J), mode="drop")
+    # TINY TIER + POOLED SPILL: after the substitution fast path only
+    # indel/clipped rows need the LV kernel (~1-5% of candidates), but
+    # the kernel's cost is its STATIC lane count, and a per-read J must
+    # cover the worst (flood) read.  Instead: a small per-read tier
+    # (J/4) covers the common case, and rows beyond it from ANY read
+    # spill into one pooled tier of R rows — flood tails land there
+    # without forcing every read's lanes 4x wider.  Rows beyond the
+    # pooled capacity are counted in score_overflow exactly as the old
+    # per-read cap counted rows beyond J.
+    J_small = max(2, J // 4)
+    score, logp, loc_adj, scored_ok = run_lv(
+        J_small, score, logp, loc_adj, scored_ok)
+    if J_small < J:
+        SPILL = R
+        spill_flat = (need & (rank >= J_small)).reshape(R * W)
+        chosen = stable_partition_indices(spill_flat, SPILL)
+        ok_sp = spill_flat[chosen]
+        u_sp = dict(
+            read=(chosen // W).astype(jnp.int32),
+            dir=u2["dir"].reshape(R * W)[chosen],
+            loc=u2["loc"].reshape(R * W)[chosen],
+            off=u2["off"].reshape(R * W)[chosen],
+            live=ok_sp)
+        win_sp = window.reshape(R * W, WIN)[chosen]
+        sc_sp = score_phase(u_sp, reads, quals, genome_p4, piece_starts,
+                            cfg, seed_len, read_len, genome_size,
+                            window=win_sp, qlp_both=qlp_both)
+        def flat_set(dst, new):
+            d = dst.reshape(R * W)
+            return d.at[chosen].set(jnp.where(ok_sp, new,
+                                              d[chosen])).reshape(R, W)
+        score = flat_set(score, sc_sp["score"])
+        logp = flat_set(logp, sc_sp["logp"])
+        loc_adj = flat_set(loc_adj, sc_sp["loc_adj"])
+        scored_ok = flat_set(scored_ok, sc_sp["scored_ok"])
+        overflow = jnp.maximum(spill_flat.sum() - SPILL, 0)
+    else:
+        overflow = jnp.maximum(need_per_read - J, 0).sum()
 
     return dict(score=score, logp=logp, loc_adj=loc_adj, scored_ok=scored_ok,
                 score_overflow=overflow,
