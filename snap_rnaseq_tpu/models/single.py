@@ -963,7 +963,7 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
     a per-read cap J = score_budget_per_read * score_scale; rows beyond J
     are counted in score_overflow, like the reference's candidate-pool cap
     (IntersectingPairedEndAligner.h:33)."""
-    from ..ops.bitpar import bitpar_distance
+    from ..ops.bitpar import bitpar_distance_words
     e_max = cfg.e_max
     R, W = u2["dir"].shape
     big = big_locations(genome_size)
@@ -972,7 +972,9 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
     flat_loc = loc.reshape(R * W)
 
     WIN = read_len + 2 * MAX_K
-    window = gather_windows(genome_p4, flat_loc - MAX_K, width=WIN, big=big)
+    window, win_words = gather_windows(genome_p4, flat_loc - MAX_K,
+                                       width=WIN, big=big,
+                                       return_packed=True)
     window = window.reshape(R, W, WIN)
 
     if cfg.score_budget_per_read == 0:
@@ -1000,11 +1002,13 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
     sel = jnp.where(is_rc, rc_reads[:, None, :], reads[:, None, :])
 
     want = read_len + e_max
-    text = window[:, :, MAX_K:MAX_K + want]
     t_len = jnp.full((R * W,), want, jnp.int32)
-    wdist = bitpar_distance(sel.reshape(R * W, read_len),
-                            text.reshape(R * W, want), t_len,
-                            P=read_len).reshape(R, W)
+    # packed text: the prefilter consumes the 4-bit window words directly
+    # (column j = nibble MAX_K + j), skipping the 4x-wider i32 text rows
+    wdist = bitpar_distance_words(sel.reshape(R * W, read_len),
+                                  win_words, t_len,
+                                  P=read_len, TXT=want,
+                                  packed_off=MAX_K).reshape(R, W)
 
     # piece-boundary clipping predicate (same as score_phase; uint32
     # arithmetic covers big-genome locations)

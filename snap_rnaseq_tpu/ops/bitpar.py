@@ -68,13 +68,20 @@ def pack_peq(pattern: jnp.ndarray, P: int) -> jnp.ndarray:
 
 def _bitpar_kernel(peq_ref, text_ref, tlen_ref, out_ref, *,
                    P: int, W: int, TXT: int, track_pos: bool = False,
-                   free_start: bool = False):
+                   free_start: bool = False, packed_off: int = -1):
     """peq: (4*W, C) u32; text: (TXT, C) i32; tlen: (1, C) i32;
     out: (1, C) i32 — min distance, or with track_pos the encoded
-    (score << 12 | end_column) minimum (earliest best end column)."""
+    (score << 12 | end_column) minimum (earliest best end column).
+
+    packed_off >= 0: text rows are 4-bit PACKED u32 words (8 codes each,
+    nibble-aligned by gather_windows) and column j's code is nibble
+    (packed_off + j) of the stream — extracted in-VMEM, so the operand
+    is 4x narrower than the i32 code rows."""
     C = out_ref.shape[1]
     peq = peq_ref[...]
     tlen = tlen_ref[...]                   # (1, C)
+    if packed_off >= 0:
+        tw = text_ref[...]                 # (TW, C) u32 packed
 
     ones = jnp.full((W, C), 0xFFFFFFFF, jnp.uint32)
     PV = ones
@@ -107,7 +114,13 @@ def _bitpar_kernel(peq_ref, text_ref, tlen_ref, out_ref, *,
     ones1 = jnp.ones((1, C), jnp.uint32)
 
     for j in range(TXT):
-        cj = text_ref[j:j + 1, :]                                # (1, C) i32
+        if packed_off >= 0:
+            p = packed_off + j
+            cj = ((tw[(p >> 3):(p >> 3) + 1, :]
+                   >> jnp.uint32(4 * (p & 7))) & jnp.uint32(15)
+                  ).astype(jnp.int32)                            # (1, C)
+        else:
+            cj = text_ref[j:j + 1, :]                            # (1, C) i32
         # EQ = Peq[c]: select among the 4 base rows, word-wise
         eq = jnp.zeros((W, C), jnp.uint32)
         for b in range(4):
@@ -173,6 +186,67 @@ def bitpar_distance_pallas(peq, text_t, t_len, *, P: int,
         interpret=interpret,
     )(peq_rows, text_t, t_len[None, :].astype(jnp.int32))
     return out[0, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("P", "interpret", "tile",
+                                              "TXT", "packed_off"))
+def bitpar_distance_packed(peq, words_t, t_len, *, P: int, TXT: int,
+                           packed_off: int, interpret: bool = False,
+                           tile: int = BP_TILE):
+    """Packed-text variant: words_t (TW, B) u32 — 4-bit genome words,
+    nibble-aligned (gather_windows return_packed); column j's code is
+    nibble packed_off + j.  4x less text traffic than the i32 rows."""
+    B = peq.shape[0]
+    W = peq.shape[2]
+    TW = words_t.shape[0]
+    C = tile
+    Bp = ((B + C - 1) // C) * C
+    if Bp != B:
+        pad = Bp - B
+        peq = jnp.pad(peq, ((0, pad), (0, 0), (0, 0)))
+        words_t = jnp.pad(words_t, ((0, 0), (0, pad)),
+                          constant_values=0x55555555)
+        t_len = jnp.pad(t_len, (0, pad))
+    peq_rows = peq.reshape(Bp, 4 * W).T
+    grid = (Bp // C,)
+    kernel = functools.partial(_bitpar_kernel, P=P, W=W, TXT=TXT,
+                               packed_off=packed_off)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4 * W, C), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TW, C), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        interpret=interpret,
+    )(peq_rows, words_t, t_len[None, :].astype(jnp.int32))
+    return out[0, :B]
+
+
+def bitpar_distance_words(pattern, words, t_len, *, P: int, TXT: int,
+                          packed_off: int):
+    """Dispatcher for the packed-text path: pallas kernel on TPU, unpack +
+    plain jax fallback elsewhere (SNAP_TPU_LV honored)."""
+    from .lv import _lv_backend
+    backend = _lv_backend()
+    if backend == "jax":
+        C = words.shape[0]
+        shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)
+        nib = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(15)
+        codes = nib.astype(jnp.uint8).reshape(C, -1)
+        return bitpar_distance_jax(
+            pattern, codes[:, packed_off:packed_off + TXT], t_len, P=P)
+    peq = pack_peq(jnp.asarray(pattern), P)
+    return bitpar_distance_packed(peq, jnp.asarray(words).T,
+                                  jnp.asarray(t_len), P=P, TXT=TXT,
+                                  packed_off=packed_off,
+                                  interpret=(backend == "interpret"))
 
 
 @functools.partial(jax.jit, static_argnames=("P", "track_pos",

@@ -39,9 +39,10 @@ def pack_genome_4bit(codes: np.ndarray) -> np.ndarray:
     return (w << shifts).sum(axis=1, dtype=np.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "big"))
+@functools.partial(jax.jit, static_argnames=("width", "big",
+                                             "return_packed"))
 def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int,
-                   big: bool = False):
+                   big: bool = False, return_packed: bool = False):
     """(C,) start locations -> (C, width) uint8 base codes.
 
     Out-of-range reads clamp into the terminal padding words (code 5,
@@ -109,17 +110,24 @@ def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int,
             0, n_words - 1)
         words = genome_p4[widx]                               # (C, n_w) u32
 
+    # sub-word alignment at NIBBLE level on the packed words: three
+    # telescoped conditional funnel shifts (4/2/1 bases = 16/8/4 bits,
+    # carry-in from the next word).  After this, base i of the window is
+    # exactly nibble i of the word stream — the u8 unpack needs no rolls,
+    # and the packed rows can feed kernels directly (bitpar consumes them
+    # without the 4x-wider u8->i32 text conversion).
+    off = sub_off
+    for b in (2, 1, 0):
+        bits = jnp.uint32(4 << b)
+        w_next = jnp.concatenate(
+            [words[:, 1:], jnp.full_like(words[:, :1], _PAD_WORD)], axis=1)
+        shifted = (words >> bits) | (w_next << (jnp.uint32(32) - bits))
+        words = jnp.where((off & (1 << b) > 0)[:, None], shifted, words)
+
     # unpack to (C, n_w * 8) u8 codes
     shifts = (jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 4)
     nib = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(15)
     codes = nib.astype(jnp.uint8).reshape(C, n_w * BASES_PER_WORD)
-
-    # sub-word alignment by loc % 8: three telescoped conditional rolls
-    # (4/2/1 bases) instead of an 8-way masked select — n_w*8 >= width+8
-    # guarantees the discarded head never wraps back into [0, width)
-    off = sub_off
-    for b in (2, 1, 0):
-        sh = 1 << b
-        codes = jnp.where((off & sh > 0)[:, None],
-                          jnp.roll(codes, -sh, axis=1), codes)
+    if return_packed:
+        return codes[:, :width], words
     return codes[:, :width]
