@@ -177,8 +177,11 @@ def _mate_rescue_end(d_e, d_m, reads_e, quals_e, genome_p4, piece_starts,
     dir_rows = jnp.broadcast_to(dir_r, (B, R, 2)).reshape(B * NW)
     live_rows = jnp.broadcast_to(m_live[:, :, None], (B, R, 2)).reshape(B * NW)
 
-    window = gather_windows(genome_p4, win_start, width=WLEN,
-                            big=sg.big_locations(genome_size))  # (B*NW, WLEN)
+    from ..ops.bitpar import bitpar_distance_words
+    _win, win_words = gather_windows(
+        genome_p4, win_start, width=WLEN,
+        big=sg.big_locations(genome_size),
+        return_packed=True)                                     # (B*NW, .)
 
     rc_reads = sg.COMP_LUT[reads_e[:, ::-1].astype(jnp.int32)]
     read_both = jnp.stack([reads_e, rc_reads], axis=1)
@@ -186,10 +189,14 @@ def _mate_rescue_end(d_e, d_m, reads_e, quals_e, genome_p4, piece_starts,
     pat = read_both[ridx, dir_rows]                             # (B*NW, L)
 
     # reversed scan: forward start s maps to reversed end column
-    # WLEN - 1 - j_rev; free start + free end = best substring match
-    enc = bitpar_distance(pat[:, ::-1], window[:, ::-1],
-                          jnp.full((B * NW,), WLEN, jnp.int32),
-                          P=read_len, track_pos=True, free_start=True)
+    # WLEN - 1 - j_rev; free start + free end = best substring match.
+    # The packed-words kernel scans the 4-bit stream back-to-front
+    # in-VMEM — no reversed text copy, 4x less staged text.
+    enc = bitpar_distance_words(pat[:, ::-1], win_words,
+                                jnp.full((B * NW,), WLEN, jnp.int32),
+                                P=read_len, TXT=WLEN, packed_off=0,
+                                track_pos=True, free_start=True,
+                                reverse=True)
     dist = enc >> 12
     start_in_w = WLEN - 1 - (enc & 4095)
     loc_r = win_start + start_in_w

@@ -68,7 +68,8 @@ def pack_peq(pattern: jnp.ndarray, P: int) -> jnp.ndarray:
 
 def _bitpar_kernel(peq_ref, text_ref, tlen_ref, out_ref, *,
                    P: int, W: int, TXT: int, track_pos: bool = False,
-                   free_start: bool = False, packed_off: int = -1):
+                   free_start: bool = False, packed_off: int = -1,
+                   reverse: bool = False):
     """peq: (4*W, C) u32; text: (TXT, C) i32; tlen: (1, C) i32;
     out: (1, C) i32 — min distance, or with track_pos the encoded
     (score << 12 | end_column) minimum (earliest best end column).
@@ -115,7 +116,10 @@ def _bitpar_kernel(peq_ref, text_ref, tlen_ref, out_ref, *,
 
     for j in range(TXT):
         if packed_off >= 0:
-            p = packed_off + j
+            # reverse: scan the packed stream back-to-front (the mate
+            # rescue's reversed free-start scan) without materializing a
+            # reversed copy — the nibble index is static per column
+            p = packed_off + (TXT - 1 - j if reverse else j)
             cj = ((tw[(p >> 3):(p >> 3) + 1, :]
                    >> jnp.uint32(4 * (p & 7))) & jnp.uint32(15)
                   ).astype(jnp.int32)                            # (1, C)
@@ -189,10 +193,14 @@ def bitpar_distance_pallas(peq, text_t, t_len, *, P: int,
 
 
 @functools.partial(jax.jit, static_argnames=("P", "interpret", "tile",
-                                              "TXT", "packed_off"))
+                                              "TXT", "packed_off",
+                                              "track_pos", "free_start",
+                                              "reverse"))
 def bitpar_distance_packed(peq, words_t, t_len, *, P: int, TXT: int,
                            packed_off: int, interpret: bool = False,
-                           tile: int = BP_TILE):
+                           tile: int = BP_TILE, track_pos: bool = False,
+                           free_start: bool = False,
+                           reverse: bool = False):
     """Packed-text variant: words_t (TW, B) u32 — 4-bit genome words,
     nibble-aligned (gather_windows return_packed); column j's code is
     nibble packed_off + j.  4x less text traffic than the i32 rows."""
@@ -210,7 +218,8 @@ def bitpar_distance_packed(peq, words_t, t_len, *, P: int, TXT: int,
     peq_rows = peq.reshape(Bp, 4 * W).T
     grid = (Bp // C,)
     kernel = functools.partial(_bitpar_kernel, P=P, W=W, TXT=TXT,
-                               packed_off=packed_off)
+                               packed_off=packed_off, track_pos=track_pos,
+                               free_start=free_start, reverse=reverse)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -230,7 +239,8 @@ def bitpar_distance_packed(peq, words_t, t_len, *, P: int, TXT: int,
 
 
 def bitpar_distance_words(pattern, words, t_len, *, P: int, TXT: int,
-                          packed_off: int):
+                          packed_off: int, track_pos: bool = False,
+                          free_start: bool = False, reverse: bool = False):
     """Dispatcher for the packed-text path: pallas kernel on TPU, unpack +
     plain jax fallback elsewhere (SNAP_TPU_LV honored)."""
     from .lv import _lv_backend
@@ -240,13 +250,19 @@ def bitpar_distance_words(pattern, words, t_len, *, P: int, TXT: int,
         shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)
         nib = (words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(15)
         codes = nib.astype(jnp.uint8).reshape(C, -1)
+        text = codes[:, packed_off:packed_off + TXT]
+        if reverse:
+            text = text[:, ::-1]
         return bitpar_distance_jax(
-            pattern, codes[:, packed_off:packed_off + TXT], t_len, P=P)
+            pattern, text, t_len, P=P, track_pos=track_pos,
+            free_start=free_start)
     peq = pack_peq(jnp.asarray(pattern), P)
     return bitpar_distance_packed(peq, jnp.asarray(words).T,
                                   jnp.asarray(t_len), P=P, TXT=TXT,
                                   packed_off=packed_off,
-                                  interpret=(backend == "interpret"))
+                                  interpret=(backend == "interpret"),
+                                  track_pos=track_pos,
+                                  free_start=free_start, reverse=reverse)
 
 
 @functools.partial(jax.jit, static_argnames=("P", "track_pos",
