@@ -33,7 +33,7 @@ for g, idxs in (('/tmp/refbuild/SNAPLib/GenomeIndex.cpp', (302, 307, 856)),
             lines[i] = lines[i].replace('return false;', 'return NULL;')
     open(g, 'w').writelines(lines)
 EOF
-  cd $R && nice -n 19 make -j1 CXXFLAGS="-O0 -Wno-format -fpermissive" \
+  cd $R && nice -n 19 make -j1 CXXFLAGS="-O0 -Wno-format -fpermissive -MMD -ISNAPLib -msse" \
     > /tmp/refbuild_make.log 2>&1
   ls -la $R/snap-rna
 fi
