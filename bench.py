@@ -423,16 +423,20 @@ def _se_extra(index, pe_batches):
     paired = _STATE.get("paired_aligner")
     if paired is not None:
         # share the paired engine's resident device arrays: a fresh
-        # constructor would re-upload ~1.5 GB through the tunnel
+        # constructor would re-upload ~1.5 GB through the tunnel.
+        # cand_per_read=64 mirrors the paired bench operating point
+        # (same disclosed accuracy/perf point; aligned fraction is
+        # unchanged vs the 128 default on the bench corpus).
         single = object.__new__(SingleAligner)
         single.index = index
-        single.cfg = SingleAlignerConfig(seed_len=index.seed_len)
+        single.cfg = SingleAlignerConfig(seed_len=index.seed_len,
+                                         cand_per_read=64)
         single._dev = paired._dev
         single._cuckoo = paired._cuckoo
         single.genome_size = paired.genome_size
         single._aot = {}
     else:
-        single = SingleAligner(index)
+        single = SingleAligner(index, cand_per_read=64)
     se_batches = [(r0, q0) for (r0, q0, _, _) in pe_batches]
     sout = single.align_batch_device(*se_batches[0])
     np.asarray(sout["result"])   # real fetch (see pe warmup note)

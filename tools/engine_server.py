@@ -115,7 +115,8 @@ class Engine:
         # tables; the constructor would otherwise re-upload ~1.5 GB)
         t1 = time.time()
         self.single = self._transplant(
-            SingleAligner, SingleAlignerConfig(seed_len=index.seed_len))
+            SingleAligner, SingleAlignerConfig(seed_len=index.seed_len,
+                                               cand_per_read=64))
         sout = self.single.align_batch_device(*self.batches[0][:2])
         sa = float((np.asarray(sout["result"]) > 0).mean())
         self.cold["single_ready_s"] = round(time.time() - t1, 1)
