@@ -116,11 +116,58 @@ class PairedEndPipeline:
             overflow_pairs = []
             warmed = False
             t0 = time.time()            # overwritten after engine warmup
+            # fetch-sync amortization group; per-batch (1) is best when
+            # device syncs are cheap (local chip), larger groups amortize
+            # high-latency links (the axon tunnel here syncs at ~0.1-0.2s)
+            FETCH_GROUP = int(os.environ.get("SNAP_TPU_FETCH_GROUP", "8"))
+            pend_meta, pend_pack = [], []
 
-            def bulk_drain(b0, b1, bad, excl, out_dev):
+            PACK_KEYS = ("result0", "result1", "loc0", "loc1", "dir0",
+                         "dir1", "mapq0", "mapq1", "score0", "score1",
+                         "pair_found", "pair_score", "truncated0",
+                         "truncated1")
+            SCALAR_KEYS = ("n_lookups0", "n_lookups1", "n_candidates0",
+                           "n_candidates1", "n_scored0", "n_scored1",
+                           "score_overflow0", "score_overflow1",
+                           "n_lookups", "n_candidates", "n_scored",
+                           "score_overflow")
+
+            @jax.jit
+            def _pack(out):
+                """One (14, B) i32 + one (S,) i32: a per-batch device_get
+                of the raw ~25-array dict costs one transfer round trip
+                PER ARRAY on the remote (axon) path — 82s of fetch wait
+                on a 200k-pair run; packed it is two transfers."""
+                rows = jnp.stack([out[k].astype(jnp.int32)
+                                  for k in PACK_KEYS])
+                scal = jnp.stack([jnp.asarray(out[k]).astype(jnp.int32)
+                                  if k in out else jnp.int32(-1)
+                                  for k in SCALAR_KEYS])
+                return rows, scal
+
+            @jax.jit
+            def _stack(packs):
+                """Group G batches' packed outputs into ONE pair of
+                arrays: every device_get through the remote (axon)
+                tunnel pays a ~0.1-0.2 s sync, so fetching per batch
+                costs more than the alignment itself; fetching per
+                group amortizes it G-fold."""
+                return (jnp.stack([p[0] for p in packs]),
+                        jnp.stack([p[1] for p in packs]))
+
+            def bulk_drain(group, stacked_dev):
                 td = time.time()
-                res = jax.device_get(out_dev)
+                rows_g, scal_g = jax.device_get(stacked_dev)
                 self.wait.device_s += time.time() - td
+                for gi, (b0, b1, bad, excl) in enumerate(group):
+                    rows, scal = rows_g[gi], scal_g[gi]
+                    res = {k: rows[i] for i, k in enumerate(PACK_KEYS)}
+                    for i, k in enumerate(SCALAR_KEYS):
+                        if scal[i] >= 0:
+                            res[k] = scal[i]
+                    _drain_one(b0, b1, bad, excl, res)
+
+            def _drain_one(b0, b1, bad, excl, res):
                 stats.truncated_candidates += int(
                     (res["truncated0"] > 0).sum()
                     + (res["truncated1"] > 0).sum())
@@ -194,7 +241,14 @@ class PairedEndPipeline:
                 out_dev = self.aligner.align_batch_device(
                     jnp.asarray(c0), jnp.asarray(q0),
                     jnp.asarray(c1), jnp.asarray(q1))
-                writer.submit(bulk_drain, b0, b1, bad, excl, out_dev)
+                pend_meta.append((b0, b1, bad, excl))
+                pend_pack.append(_pack(out_dev))
+                if len(pend_meta) >= FETCH_GROUP:
+                    writer.submit(bulk_drain, pend_meta,
+                                  _stack(pend_pack))
+                    pend_meta, pend_pack = [], []
+            if pend_meta:
+                writer.submit(bulk_drain, pend_meta, _stack(pend_pack))
             writer.close()
             stats.total_reads += n_total
             stats.useful_reads += n_useful
