@@ -150,7 +150,10 @@ def _mate_rescue_end(d_e, d_m, reads_e, quals_e, genome_p4, piece_starts,
     K = d_m["score"].shape[1]
     gate = ecfg.e_max
     span = cfg.max_spacing - cfg.min_spacing
-    WLEN = span + read_len + 2 * MAX_K
+    # window margin = the scan's own distance gate (see score_phase's
+    # window-margin note)
+    M = ecfg.e_max
+    WLEN = span + read_len + 2 * M
 
     # top-R mate candidates by (score asc, logp desc)
     key = jnp.where(d_m["live"],
@@ -172,7 +175,7 @@ def _mate_rescue_end(d_e, d_m, reads_e, quals_e, genome_p4, piece_starts,
     lo = jnp.stack([m_loc - cfg.max_spacing,
                     m_loc + cfg.min_spacing], axis=2)  # (B, R, 2)
     NW = R * 2
-    win_start = (lo - MAX_K).reshape(B * NW)
+    win_start = (lo - M).reshape(B * NW)
     dir_r = (1 - m_dir)[:, :, None]
     dir_rows = jnp.broadcast_to(dir_r, (B, R, 2)).reshape(B * NW)
     live_rows = jnp.broadcast_to(m_live[:, :, None], (B, R, 2)).reshape(B * NW)
@@ -201,7 +204,7 @@ def _mate_rescue_end(d_e, d_m, reads_e, quals_e, genome_p4, piece_starts,
     start_in_w = WLEN - 1 - (enc & 4095)
     loc_r = win_start + start_in_w
     # start must lie inside the spacing interval for pair_phase to accept
-    in_range = (start_in_w >= MAX_K) & (start_in_w <= MAX_K + span)
+    in_range = (start_in_w >= M) & (start_in_w <= M + span)
     ok = live_rows & in_range & (dist <= gate)
 
     # best window per read: (dist asc, row asc)

@@ -456,6 +456,11 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     """
     e_max = cfg.e_max if band is None else band
     gate = cfg.e_max
+    # window margin: an alignment within the e_max band never reads text
+    # beyond e_max bases outside the read span, so the gathered window
+    # carries cfg.e_max margin (not the kernel-max MAX_K) — 15-20% less
+    # gather/copy traffic at the default operating point, bit-identical
+    M = cfg.e_max
     C = u["read"].shape[0]
     rc_reads = COMP_LUT[reads[:, ::-1].astype(jnp.int32)]
     read_both = jnp.stack([reads, rc_reads], axis=1)
@@ -477,7 +482,7 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
         pidx + 1 < piece_starts.shape[0],
         piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
         jnp.int32(np.uint32(genome_size).astype(np.int32)))
-    want = read_len + MAX_K
+    want = read_len + M
     # uint32 arithmetic: exact for int31 genomes too, correct past 2^31
     lu = loc_c.astype(jnp.uint32)
     ns_u = next_start.astype(jnp.uint32)
@@ -486,7 +491,7 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     end_off = jnp.where(lu + want >= gs_u, gs_u, ns_u)
     text_len = jnp.where(crosses, (end_off - lu).astype(jnp.int32) - 1,
                          want)
-    data_ok = text_len >= read_len - MAX_K
+    data_ok = text_len >= read_len - M
 
     # FREE-PREFIX formulation: both LV calls run on the FULL read row with
     # the pre-seed (head) / post-seed (tail) prefix marked free, so no
@@ -498,10 +503,10 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     sel = read_both[u["read"], u["dir"]]
     selq = qual_both[u["read"], u["dir"]]
     if window is None:
-        window = gather_windows(genome_p4, loc_c - MAX_K,
-                                width=read_len + 2 * MAX_K, big=big)
-    fwd_text = window[:, MAX_K:]
-    bwd_text = jnp.flip(window[:, :read_len + MAX_K], axis=1)
+        window = gather_windows(genome_p4, loc_c - M,
+                                width=read_len + 2 * M, big=big)
+    fwd_text = window[:, M:]
+    bwd_text = jnp.flip(window[:, :read_len + M], axis=1)
     plen_full = jnp.full((2 * C,), read_len, jnp.int32)
     kvec = jnp.where(u["live"] & data_ok, e_max, 0).astype(jnp.int32)
 
@@ -512,7 +517,7 @@ def score_phase(u, reads, quals, genome_p4, piece_starts, cfg, seed_len,
     rselq = selq[:, ::-1]
     # genome-start guard in uint32 (big-genome locations wrap int32)
     bwd_tlen = (read_len - so) + jnp.minimum(
-        (so + MAX_K).astype(jnp.uint32),
+        (so + M).astype(jnp.uint32),
         lu + so.astype(jnp.uint32)).astype(jnp.int32)
     r = lv_distance(
         jnp.concatenate([sel, rsel], axis=0), plen_full,
@@ -593,11 +598,13 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
     sel = read_both[u["read"], u["dir"]]                      # (C, L)
 
     # one shared window per candidate serves the prefilter AND both LV
-    # text slices downstream (score_phase's free-prefix formulation)
-    W = read_len + 2 * MAX_K
-    window = gather_windows(genome_p4, loc_c - MAX_K, width=W, big=big)
+    # text slices downstream (score_phase's free-prefix formulation);
+    # margin = cfg.e_max (see score_phase's window-margin note)
+    M = cfg.e_max
+    W = read_len + 2 * M
+    window = gather_windows(genome_p4, loc_c - M, width=W, big=big)
     want = read_len + e_max
-    text = window[:, MAX_K:MAX_K + want]
+    text = window[:, M:M + want]
     t_len = jnp.full((C,), want, jnp.int32)
     wdist = bitpar_distance(sel, text, t_len, P=read_len)
 
@@ -658,10 +665,10 @@ def filtered_score_phase(u, reads, quals, genome_p4, piece_starts, cfg,
             pidx + 1 < piece_starts.shape[0],
             piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
             jnp.int32(np.uint32(genome_size).astype(np.int32)))
-        crosses = (loc_c.astype(jnp.uint32) + (read_len + MAX_K)
+        crosses = (loc_c.astype(jnp.uint32) + (read_len + M)
                    > jnp.minimum(next_start.astype(jnp.uint32),
                                  jnp.uint32(genome_size)))
-        text0 = window[:, MAX_K:MAX_K + read_len]
+        text0 = window[:, M:M + read_len]
         mm = sel != text0
         ham = mm.sum(axis=1).astype(jnp.int32)
         fast = live & ~crosses & (wdist <= e_max) & (ham == wdist)
@@ -971,8 +978,10 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
     loc = jnp.where(live, u2["loc"], 0)
     flat_loc = loc.reshape(R * W)
 
-    WIN = read_len + 2 * MAX_K
-    window, win_words = gather_windows(genome_p4, flat_loc - MAX_K,
+    # margin = cfg.e_max (see score_phase's window-margin note)
+    M = cfg.e_max
+    WIN = read_len + 2 * M
+    window, win_words = gather_windows(genome_p4, flat_loc - M,
                                        width=WIN, big=big,
                                        return_packed=True)
     window = window.reshape(R, W, WIN)
@@ -1004,11 +1013,11 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
     want = read_len + e_max
     t_len = jnp.full((R * W,), want, jnp.int32)
     # packed text: the prefilter consumes the 4-bit window words directly
-    # (column j = nibble MAX_K + j), skipping the 4x-wider i32 text rows
+    # (column j = nibble M + j), skipping the 4x-wider i32 text rows
     wdist = bitpar_distance_words(sel.reshape(R * W, read_len),
                                   win_words, t_len,
                                   P=read_len, TXT=want,
-                                  packed_off=MAX_K).reshape(R, W)
+                                  packed_off=M).reshape(R, W)
 
     # piece-boundary clipping predicate (same as score_phase; uint32
     # arithmetic covers big-genome locations)
@@ -1017,7 +1026,7 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
         pidx + 1 < piece_starts.shape[0],
         piece_starts[jnp.minimum(pidx + 1, piece_starts.shape[0] - 1)],
         jnp.int32(np.uint32(genome_size).astype(np.int32)))
-    crosses = (loc.astype(jnp.uint32) + (read_len + MAX_K)
+    crosses = (loc.astype(jnp.uint32) + (read_len + M)
                > jnp.minimum(next_start.astype(jnp.uint32),
                              jnp.uint32(genome_size)))
 
@@ -1036,7 +1045,7 @@ def rowwise_score_phase(u2, reads, quals, genome_p4, piece_starts, cfg,
         # anchored pure-substitution closed form (see filtered_score_phase
         # for the exactness argument and the documented equal-cost-indel
         # deviation)
-        text0 = window[:, :, MAX_K:MAX_K + read_len]
+        text0 = window[:, :, M:M + read_len]
         mm = sel != text0
         ham = mm.sum(axis=2).astype(jnp.int32)
         fast = live & ~crosses & (wdist <= e_max) & (ham == wdist)
