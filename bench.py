@@ -191,7 +191,9 @@ def _try_resident_server(baseline, baseline_src):
         if not (r.get("ok") and r.get("ready", True)):
             return False
         _stage("server-measure")
-        m = call({"cmd": "measure", "rounds": ROUNDS,
+        # the server path costs seconds either way; a longer window keeps
+        # one slow dispatch (tunnel hiccup) from skewing the headline
+        m = call({"cmd": "measure", "rounds": max(ROUNDS, 30),
                   "deadline_s": max(60.0, DEADLINE_S - (time.time() - T0)
                                     - 60.0)},
                  timeout=max(60.0, DEADLINE_S - (time.time() - T0) - 30.0))
@@ -215,7 +217,7 @@ def _try_resident_server(baseline, baseline_src):
         if time.time() - T0 < DEADLINE_S - 60:
             try:
                 _stage("server-measure-se")
-                se = call({"cmd": "measure_se", "rounds": ROUNDS,
+                se = call({"cmd": "measure_se", "rounds": max(ROUNDS, 30),
                            "deadline_s": 60.0}, timeout=120.0)
                 if se.get("ok"):
                     se_base, _ = _load_baseline(single=True)
