@@ -97,34 +97,83 @@ def test_gather_windows_big_small_table():
     assert (got_big == 5).all()
 
 
+def _lift_index(idx, BASE):
+    """Rebase every genome location in a small index by +BASE, placing
+    the same sequence at an offset past 2^31 — equivalent to indexing a
+    genome whose real sequence sits at BASE, without scanning 2.2e9
+    padding positions.  Seed keys are position-independent; hash values
+    below genome_size are locations and values at/above it are overflow
+    pointers encoded as gsize + idx, so BOTH shift by exactly +BASE when
+    the genome grows by BASE.  The overflow array interleaves [count,
+    loc...] runs; counts stay, locations shift."""
+    from snap_rnaseq_tpu.constants import (INVALID_GENOME_LOCATION,
+                                           UNUSED_HASH_VALUE)
+    from snap_rnaseq_tpu.index.genome import Genome
+    from snap_rnaseq_tpu.index.hash_index import GenomeIndex
+    g = idx.genome
+    old = np.asarray(g.codes)
+    codes = np.full(BASE + old.size, 5, np.uint8)
+    codes[BASE:] = old
+    lifted_g = Genome(codes=codes, piece_names=list(g.piece_names),
+                      piece_offsets=np.asarray(g.piece_offsets) + BASE,
+                      padding=g.padding)
+
+    def shift(vals):
+        v = np.asarray(vals, np.uint32).copy()
+        keep = (v == np.uint32(INVALID_GENOME_LOCATION)) | \
+            (v == np.uint32(UNUSED_HASH_VALUE))
+        v[~keep] += np.uint32(BASE)
+        return v
+
+    ovf = np.asarray(idx.overflow, np.uint32).copy()
+    pos = 0
+    while pos < ovf.size:
+        count = int(ovf[pos])
+        ovf[pos + 1:pos + 1 + count] += np.uint32(BASE)
+        pos += 1 + count
+    return GenomeIndex(genome=lifted_g, seed_len=idx.seed_len,
+                       ht_keys=np.asarray(idx.ht_keys),
+                       ht_val1=shift(idx.ht_val1),
+                       ht_val2=shift(idx.ht_val2),
+                       shard_starts=np.asarray(idx.shard_starts),
+                       overflow=ovf,
+                       shard_ovf_starts=np.asarray(idx.shard_ovf_starts))
+
+
 @pytest.mark.slow
 def test_end_to_end_lifted_genome():
-    """Full engine at locations past 2^31: a mostly-pad genome whose only
-    real sequence sits at offset ~2.2e9.  Reads cut from it must align to
-    their true (wrapped) locations exactly as on a small genome."""
-    from snap_rnaseq_tpu.index.genome import Genome
+    """Full engine at locations past 2^31: the same sequence + index
+    lifted to offset 2.2e9 must align reads to their (wrapped) lifted
+    locations with results matching the small-genome run."""
+    from snap_rnaseq_tpu.index.genome import genome_from_codes
     from snap_rnaseq_tpu.index.hash_index import build_index
     from snap_rnaseq_tpu.models.single import SingleAligner
 
     rng = np.random.default_rng(5)
     real = rng.integers(0, 4, 200_000).astype(np.uint8)
+    small = build_index(genome_from_codes(real), seed_len=20)
     BASE = 2_200_000_000
-    codes = np.full(BASE + real.size + 600, 5, np.uint8)
-    codes[BASE:BASE + real.size] = real
-    g = Genome(codes=codes, piece_names=["chrBig"],
-               piece_offsets=np.array([0], np.int64), padding=500)
-    idx = build_index(g, seed_len=20)
+    idx = _lift_index(small, BASE)
 
     B, L = 32, 100
+    pad = int(np.asarray(small.genome.piece_offsets)[0])
     starts = rng.integers(0, real.size - L, B)
-    reads = np.stack([real[s:s + L] for s in starts])
+    body = np.asarray(small.genome.codes)
+    reads = np.stack([body[pad + s:pad + s + L] for s in starts])
     quals = np.full((B, L), ord("I"), np.uint8)
-    al = SingleAligner(idx, cand_per_read=16, max_seed_slots=16)
-    out = al.align_batch(reads, quals)
-    loc = np.asarray(out["loc"]).astype(np.int32).view(np.uint32)
-    ok = 0
-    for i in range(B):
-        if out["result"][i] != 0 and \
-                abs(int(loc[i]) - (BASE + int(starts[i]))) <= 2:
-            ok += 1
-    assert ok >= B - 1, (ok, loc[:8], BASE + starts[:8])
+
+    ref = SingleAligner(small, cand_per_read=16,
+                        max_seed_slots=16).align_batch(reads, quals)
+    out = SingleAligner(idx, cand_per_read=16,
+                        max_seed_slots=16).align_batch(reads, quals)
+    loc = np.asarray(out["loc"]).astype(np.int32).view(
+        np.uint32).astype(np.int64)
+    ref_loc = np.asarray(ref["loc"]).astype(np.int64)
+    # identical decisions, locations shifted by exactly +BASE
+    np.testing.assert_array_equal(out["result"], ref["result"])
+    np.testing.assert_array_equal(out["direction"], ref["direction"])
+    np.testing.assert_array_equal(out["score"], ref["score"])
+    np.testing.assert_array_equal(out["mapq"], ref["mapq"])
+    mapped = np.asarray(ref["result"]) != 0
+    assert mapped.sum() >= B - 1
+    np.testing.assert_array_equal(loc[mapped], ref_loc[mapped] + BASE)
