@@ -348,24 +348,28 @@ def _aggregate_rows(c, big: bool = False):
     from ..ops.rowscan import seg_broadcast
     rows, W = c["dir"].shape
     p_ord = c["order"] | (c["live"].astype(jnp.int32) << 30)
-    p_ro = (c["round"] << 10) | c["offset"]
+    # one payload word for (lp, round, offset): lp < 64 (seed-budget
+    # bound), round < 64, offset < 1024 — every dropped sort operand
+    # skips ~log^2(W) comparator stages
+    p_ro = (c["lp"] << 16) | (c["round"] << 10) | c["offset"]
     if big:
-        d_, l_u, p_ord, p_ro, lp_ = jax.lax.sort(
-            (c["dir"], c["loc"].astype(jnp.uint32), p_ord, p_ro, c["lp"]),
+        d_, l_u, p_ord, p_ro = jax.lax.sort(
+            (c["dir"], c["loc"].astype(jnp.uint32), p_ord, p_ro),
             dimension=1, num_keys=2, is_stable=False)
         l_ = l_u.astype(jnp.int32)
     else:
         ukey = (c["dir"].astype(jnp.uint32) << 31) | \
             c["loc"].astype(jnp.uint32)
-        ukey, p_ord, p_ro, lp_ = jax.lax.sort(
-            (ukey, p_ord, p_ro, c["lp"]), dimension=1, num_keys=1,
+        ukey, p_ord, p_ro = jax.lax.sort(
+            (ukey, p_ord, p_ro), dimension=1, num_keys=1,
             is_stable=False)
         d_ = (ukey >> 31).astype(jnp.int32)
         l_u = ukey & jnp.uint32(0x7FFFFFFF)
         l_ = l_u.astype(jnp.int32)
     o_ = p_ord & jnp.int32(0x3FFFFFFF)
     live_ = (p_ord >> 30) > 0
-    rd_ = p_ro >> 10
+    lp_ = p_ro >> 16
+    rd_ = (p_ro >> 10) & jnp.int32(0x3F)
     off_ = p_ro & jnp.int32(0x3FF)
 
     col0 = jnp.zeros((rows, W), bool).at[:, 0].set(True)
