@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASES_PER_WORD = 8   # 4 bits per base code in a uint32
-ROW_WORDS = 128      # words per aligned gather row (one register lane row)
+ROW_WORDS = 64       # words per aligned gather row: 128 halved -> 64 cuts the window-gather overfetch ~2x (A/B ladder: 128=140.0k, 64=144.9k, 32=121.5k PE reads/s); 32 pays XLA (8,128) tile padding on the row gather
 _PAD_WORD = np.uint32(0x55555555)   # eight padding nibbles (code 5)
 
 
@@ -56,7 +56,7 @@ def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int,
 
     Layout: XLA lowers an elementwise word gather at ~7 ns/WORD but a
     row gather at ~35 ns/ROW (round-4 device profile), so the window is
-    fetched as K aligned 128-word rows per candidate and the variable
+    fetched as K aligned ROW_WORDS-word rows per candidate and the variable
     word offset is resolved with log2(ROW_WORDS) conditional lane rolls
     — pure VPU work.  2.2x faster at the score-window shape, ~4x at the
     mate-rescue window shape.
@@ -77,7 +77,7 @@ def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int,
         rows_tbl = genome_p4.reshape(-1, ROW_WORDS)
         M = rows_tbl.shape[0]
         K = -(-n_w // ROW_WORDS) + 1
-        r0 = wstart >> 7
+        r0 = wstart >> (ROW_WORDS.bit_length() - 1)
         ridx = jnp.clip(r0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
                         0, M - 1)
         flat = rows_tbl[ridx].reshape(C, K * ROW_WORDS)       # (C, K*128) u32
@@ -90,7 +90,7 @@ def gather_windows(genome_p4: jnp.ndarray, loc: jnp.ndarray, *, width: int,
         # the telescoped version moves ~8x fewer bytes for identical
         # output.
         woff = wstart & (ROW_WORDS - 1)
-        for b in range(6, -1, -1):
+        for b in range(ROW_WORDS.bit_length() - 2, -1, -1):
             # entering step b the residual offset is < 2^(b+1), so only
             # the first 2^(b+1) + n_w words can be live
             keep_w = (1 << (b + 1)) + n_w
